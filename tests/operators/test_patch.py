@@ -1,0 +1,95 @@
+"""Patch gather/scatter operator tests.
+
+Mirrors the reference's `tests/operators/test_patch.py` strategy: adjoint
+property plus a numpy oracle for the bilinear interpolation.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tike_tpu.ops import patch_fwd, patch_adj, patch_fwd_padded
+from .util import random_complex, check_adjoint
+
+H, W, P, N = 64, 70, 16, 27
+
+
+def _setup(seed=0):
+    rng = np.random.default_rng(seed)
+    images = random_complex(rng, H, W)
+    # In-bounds fractional positions with the reference's margin.
+    positions = np.stack(
+        [
+            rng.uniform(1, H - P - 2, N),
+            rng.uniform(1, W - P - 2, N),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    patches = random_complex(rng, N, P, P)
+    return images, positions, patches
+
+
+def _patch_fwd_oracle(images, positions, p):
+    """Pure-numpy bilinear patch extraction oracle."""
+    out = np.zeros((len(positions), p, p), dtype=images.dtype)
+    for i, (y, x) in enumerate(positions):
+        iy, ix = int(np.floor(y)), int(np.floor(x))
+        fy, fx = y - iy, x - ix
+        win = images[iy : iy + p + 1, ix : ix + p + 1]
+        out[i] = (
+            (1 - fy) * (1 - fx) * win[:-1, :-1]
+            + (1 - fy) * fx * win[:-1, 1:]
+            + fy * (1 - fx) * win[1:, :-1]
+            + fy * fx * win[1:, 1:]
+        )
+    return out
+
+
+def test_fwd_matches_oracle():
+    images, positions, _ = _setup()
+    got = np.asarray(patch_fwd(jnp.asarray(images), jnp.asarray(positions), P))
+    want = _patch_fwd_oracle(images, positions, P)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_adjoint():
+    images, positions, patches = _setup()
+    fwd = patch_fwd(jnp.asarray(images), jnp.asarray(positions), P)
+    adj = patch_adj(jnp.asarray(patches), jnp.asarray(positions), (H, W))
+    check_adjoint(fwd, images, adj, patches)
+
+
+def test_adjoint_integer_positions():
+    images, positions, patches = _setup()
+    positions = np.floor(positions).astype(np.float32)
+    fwd = patch_fwd(jnp.asarray(images), jnp.asarray(positions), P)
+    adj = patch_adj(jnp.asarray(patches), jnp.asarray(positions), (H, W))
+    check_adjoint(fwd, images, adj, patches)
+
+
+def test_fwd_padded_centers_patch():
+    images, positions, _ = _setup()
+    det = P + 10
+    padded = np.asarray(
+        patch_fwd_padded(jnp.asarray(images), jnp.asarray(positions), P, det)
+    )
+    assert padded.shape == (N, det, det)
+    pad = (det - P) // 2
+    inner = padded[:, pad : pad + P, pad : pad + P]
+    np.testing.assert_allclose(
+        inner, _patch_fwd_oracle(images, positions, P), rtol=1e-5, atol=1e-5
+    )
+    # Everything outside the central region is zero padding.
+    total = np.abs(padded).sum()
+    np.testing.assert_allclose(total, np.abs(inner).sum(), rtol=1e-6)
+
+
+def test_accumulation_into_existing_image():
+    images, positions, patches = _setup()
+    base = random_complex(np.random.default_rng(7), H, W)
+    out = patch_adj(
+        jnp.asarray(patches), jnp.asarray(positions), (H, W), jnp.asarray(base)
+    )
+    zero = patch_adj(jnp.asarray(patches), jnp.asarray(positions), (H, W))
+    np.testing.assert_allclose(
+        np.asarray(out), base + np.asarray(zero), rtol=1e-5, atol=1e-5
+    )

@@ -1,0 +1,146 @@
+"""Bilinear patch extraction / accumulation at fractional scan positions.
+
+TPU-native replacement for the reference CUDA kernels `fwd_patch`/`adj_patch`
+(`/root/reference/src/tike/operators/cupy/convolution.cu:146-165` launched from
+`patch.py:79-188`). Instead of one CUDA thread per patch pixel with atomicAdd,
+we express the same linear operator as XLA-friendly primitives:
+
+- forward: a vmapped ``dynamic_slice`` of a (P+1, P+1) window per position,
+  then a bilinear combination of the window's four integer-shifted corners.
+  XLA lowers this to a batched gather; there is no data-dependent control flow.
+- adjoint: the exact transpose — spread each patch into a (P+1, P+1) window
+  with the four bilinear corner weights, then a single scatter-add of all
+  windows into the image. Scatter-add is deterministic on TPU (no atomics).
+
+Semantics notes (match the reference):
+- ``positions`` are (y, x) coordinates of the *minimum corner* of each patch
+  in image coordinates; fractional parts trigger bilinear interpolation.
+- Positions are assumed in-bounds, i.e. ``1 <= pos`` and
+  ``pos + patch_width + 1 <= image_shape`` (the reference enforces this via
+  ``check_allowed_positions``); out-of-bounds behavior is clamping (XLA
+  dynamic_slice/scatter semantics) rather than the reference's zero-weighting.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _split_positions(positions):
+    """Split float positions into integer corners and fractional weights."""
+    lo = jnp.floor(positions)
+    frac = positions - lo
+    return lo.astype(jnp.int32), frac
+
+
+def patch_fwd(
+    images: jax.Array,
+    positions: jax.Array,
+    patch_width: int,
+) -> jax.Array:
+    """Extract bilinearly-interpolated square patches from an image.
+
+    Parameters
+    ----------
+    images : (H, W) complex
+    positions : (N, 2) float — (y, x) min-corner of each patch
+    patch_width : int — static width P of the extracted patches
+
+    Returns
+    -------
+    patches : (N, P, P) complex
+    """
+    corner, frac = _split_positions(positions)
+    fy = frac[:, 0][:, None, None]
+    fx = frac[:, 1][:, None, None]
+
+    def one_window(c):
+        return jax.lax.dynamic_slice(
+            images, (c[0], c[1]), (patch_width + 1, patch_width + 1)
+        )
+
+    win = jax.vmap(one_window)(corner)  # (N, P+1, P+1)
+    return (
+        (1 - fy) * (1 - fx) * win[:, :-1, :-1]
+        + (1 - fy) * fx * win[:, :-1, 1:]
+        + fy * (1 - fx) * win[:, 1:, :-1]
+        + fy * fx * win[:, 1:, 1:]
+    )
+
+
+def _spread_windows(patches: jax.Array, frac: jax.Array) -> jax.Array:
+    """Spread (N, P, P) patches into (N, P+1, P+1) bilinear windows."""
+    n, p, _ = patches.shape
+    fy = frac[:, 0][:, None, None]
+    fx = frac[:, 1][:, None, None]
+    win = jnp.zeros((n, p + 1, p + 1), dtype=patches.dtype)
+    win = win.at[:, :-1, :-1].add((1 - fy) * (1 - fx) * patches)
+    win = win.at[:, :-1, 1:].add((1 - fy) * fx * patches)
+    win = win.at[:, 1:, :-1].add(fy * (1 - fx) * patches)
+    win = win.at[:, 1:, 1:].add(fy * fx * patches)
+    return win
+
+
+def patch_adj(
+    patches: jax.Array,
+    positions: jax.Array,
+    images_shape: tuple[int, int],
+    images: jax.Array | None = None,
+) -> jax.Array:
+    """Adjoint of :func:`patch_fwd`: scatter-add patches into an image.
+
+    Parameters
+    ----------
+    patches : (N, P, P) complex
+    positions : (N, 2) float
+    images_shape : (H, W) — static output shape
+    images : optional (H, W) initial accumulator
+
+    Returns
+    -------
+    images : (H, W) complex
+    """
+    h, w = images_shape
+    n, p, _ = patches.shape
+    corner, frac = _split_positions(positions)
+    win = _spread_windows(patches, frac)  # (N, P+1, P+1)
+
+    span = jnp.arange(p + 1, dtype=jnp.int32)
+    rows = corner[:, 0:1] + span[None, :]  # (N, P+1)
+    cols = corner[:, 1:2] + span[None, :]  # (N, P+1)
+    flat = (rows[:, :, None] * w + cols[:, None, :]).reshape(-1)
+
+    if images is None:
+        acc = jnp.zeros(h * w, dtype=patches.dtype)
+    else:
+        acc = images.reshape(-1)
+    acc = acc.at[flat].add(
+        win.reshape(-1), mode="drop", unique_indices=False
+    )
+    return acc.reshape(h, w)
+
+
+@functools.partial(jax.jit, static_argnames=("patch_width", "padded_width"))
+def patch_fwd_padded(
+    images: jax.Array,
+    positions: jax.Array,
+    patch_width: int,
+    padded_width: int,
+) -> jax.Array:
+    """Extract patches zero-padded to ``padded_width`` (detector size).
+
+    The valid P×P region is centered: offset pad = (padded - P) // 2, matching
+    the reference's padding convention (`convolution.py:56-101`).
+    """
+    patches = patch_fwd(images, positions, patch_width)
+    pad = (padded_width - patch_width) // 2
+    if pad == 0 and padded_width == patch_width:
+        return patches
+    return jnp.pad(
+        patches,
+        ((0, 0), (pad, padded_width - patch_width - pad),
+         (pad, padded_width - patch_width - pad)),
+    )
