@@ -1,0 +1,48 @@
+"""Shared ptychography test fixtures.
+
+Mirrors `/root/reference/tests/ptycho/templates.py`: load the bundled
+siemens-star dataset, add 5 Cartesian-Hermite probe modes, and run
+reconstructions twice to prove warm-restart consistency.
+"""
+
+import bz2
+import os
+
+import numpy as np
+
+import tike_tpu.ptycho as tp
+
+DATA_FILE = "/root/reference/tests/data/siemens-star-small.npz.bz2"
+
+
+class SiemensStarSetup:
+    """Load the siemens-star dataset like the reference test fixture."""
+
+    def setUp(self, filename=DATA_FILE):
+        with bz2.open(filename, "rb") as f:
+            archive = np.load(f)
+            self.scan = archive["scan"][0]
+            self.data = archive["data"][0].astype(np.float32)
+            self.probe = archive["probe"][0]
+        self.scan -= np.amin(self.scan, axis=-2) - 20
+        self.scan = self.scan.astype(np.float32)
+        self.probe = tp.add_modes_cartesian_hermite(self.probe, 5)
+        self.probe = np.asarray(tp.adjust_probe_power(self.probe))
+        probe, _ = tp.orthogonalize_eig(self.probe)
+        self.probe = np.asarray(probe)
+        self.psi = np.full((1, 600, 600), 0.5 + 0j, dtype=np.complex64)
+
+
+class ReconstructTwice:
+    """Call reconstruct twice in a loop to check continuation correctness."""
+
+    def template_consistent_algorithm(self, *, data, params):
+        for _ in range(2):
+            params = tp.reconstruct(data=data, parameters=params)
+        costs = [c[0] for c in params.algorithm_options.costs]
+        print()
+        print("\n".join(f"{c:1.3e}" for c in costs))
+        # The cost should be reduced from the starting value and be finite.
+        assert np.all(np.isfinite(costs)), costs
+        assert costs[-1] < costs[0], costs
+        return params

@@ -1,0 +1,123 @@
+"""Integration tests for ptychography reconstruction.
+
+Mirrors the reference strategy (`/root/reference/tests/ptycho/test_ptycho.py`):
+consistency (reconstruct twice, cost decreasing and finite) across solver ×
+noise model × option combinations, on the bundled siemens-star dataset.
+Epoch counts are kept small for CPU CI speed.
+"""
+
+import unittest
+
+import numpy as np
+
+import tike_tpu.ptycho as tp
+
+from .templates import ReconstructTwice, SiemensStarSetup
+
+NUM_EPOCH = 2
+
+
+class TestPtychoRecon(SiemensStarSetup, ReconstructTwice, unittest.TestCase):
+    def setUp(self):
+        SiemensStarSetup.setUp(self)
+
+    def _params(self, algorithm_options, probe_options=None, **kwargs):
+        return tp.PtychoParameters(
+            probe=self.probe.copy(),
+            psi=self.psi.copy(),
+            scan=self.scan.copy(),
+            algorithm_options=algorithm_options,
+            object_options=kwargs.pop("object_options", tp.ObjectOptions()),
+            probe_options=probe_options,
+            **kwargs,
+        )
+
+    def test_consistent_rpie(self):
+        params = self._params(
+            tp.RpieOptions(num_batch=5, num_iter=NUM_EPOCH),
+            probe_options=tp.ProbeOptions(force_orthogonality=True),
+        )
+        self.template_consistent_algorithm(data=self.data, params=params)
+
+    def test_consistent_rpie_off(self):
+        """Probe recovery disabled."""
+        params = self._params(
+            tp.RpieOptions(num_batch=5, num_iter=NUM_EPOCH),
+            probe_options=None,
+        )
+        self.template_consistent_algorithm(data=self.data, params=params)
+
+    def test_consistent_rpie_poisson(self):
+        params = self._params(
+            tp.RpieOptions(num_batch=5, num_iter=NUM_EPOCH),
+            probe_options=tp.ProbeOptions(),
+            exitwave_options=tp.ExitWaveOptions(
+                measured_pixels=np.ones(
+                    self.probe.shape[-2:], dtype=np.bool_
+                ),
+                noise_model="poisson",
+            ),
+        )
+        self.template_consistent_algorithm(data=self.data, params=params)
+
+    def test_consistent_rpie_compact(self):
+        params = self._params(
+            tp.RpieOptions(
+                num_batch=5, num_iter=NUM_EPOCH, batch_method="compact"
+            ),
+            probe_options=tp.ProbeOptions(use_adaptive_moment=True),
+            object_options=tp.ObjectOptions(use_adaptive_moment=True),
+        )
+        self.template_consistent_algorithm(data=self.data, params=params)
+
+    def test_consistent_rpie_masked_detector(self):
+        mask = np.ones(self.probe.shape[-2:], dtype=np.bool_)
+        mask[40:50, 40:50] = False  # dead detector region
+        params = self._params(
+            tp.RpieOptions(num_batch=5, num_iter=NUM_EPOCH),
+            probe_options=tp.ProbeOptions(),
+            exitwave_options=tp.ExitWaveOptions(
+                measured_pixels=mask, noise_model="gaussian"
+            ),
+        )
+        self.template_consistent_algorithm(data=self.data, params=params)
+
+
+class TestPtychoSimulate(unittest.TestCase):
+    def test_simulate_round_trip_cost_is_zero(self):
+        """A reconstruction's forward model must reproduce its own simulate."""
+        rng = np.random.default_rng(0)
+        P, HW, N = 16, 96, 64
+        yy, xx = np.mgrid[0:HW, 0:HW] / HW
+        psi = np.exp(1j * np.sin(5 * yy) * np.cos(3 * xx)).astype(
+            np.complex64
+        )[None]
+        probe = (tp.gaussian(P) * (1 + 0j))[None, None, None].astype(
+            np.complex64
+        )
+        scan = np.stack(
+            [rng.uniform(2, HW - P - 3, N), rng.uniform(2, HW - P - 3, N)],
+            -1,
+        ).astype(np.float32)
+        data = tp.simulate(P, probe, scan, psi)
+        assert data.shape == (N, P, P)
+        assert np.all(data >= 0)
+        # Energy conservation: ortho FFT means sum(data) == sum |exitwave|^2.
+        from tike_tpu.ops import PtychoConfig, multislice_fwd
+        import jax.numpy as jnp
+
+        cfg = PtychoConfig(
+            probe_shape=P, detector_shape=P, nz=HW, n=HW
+        )
+        exitwave, _ = multislice_fwd(
+            cfg, jnp.asarray(psi), jnp.asarray(scan), jnp.asarray(probe[0, 0])
+        )
+        np.testing.assert_allclose(
+            data.sum(),
+            float(jnp.sum(jnp.abs(exitwave) ** 2)),
+            rtol=1e-4,
+        )
+
+
+if __name__ == "__main__":
+    unittest.main()

@@ -71,5 +71,6 @@ EACH_PATTERN = {
     "gaussian": gaussian_each_pattern,
     "poisson": poisson_each_pattern,
 }
+ELEMENTWISE = {"gaussian": _gaussian_elem, "poisson": _poisson_elem}
 GRAD = {"gaussian": gaussian_grad, "poisson": poisson_grad}
 COST = {"gaussian": gaussian, "poisson": poisson}

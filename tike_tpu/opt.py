@@ -1,0 +1,232 @@
+"""Generic optimization routines (adaptive moments, CG, line search).
+
+TPU-native equivalent of `/root/reference/src/tike/opt.py`. Array math is jnp
+(works under jit); the convergence bookkeeping helpers operate on host-side
+Python lists, as in the reference.
+"""
+
+from __future__ import annotations
+
+import logging
+import typing
+
+import jax.numpy as jnp
+import numpy as np
+
+import tike_tpu.linalg as la
+
+logger = logging.getLogger(__name__)
+
+
+def is_converged(algorithm_options) -> bool:
+    """Return True if the cost slope is non-negative within the window.
+
+    Mirrors `opt.py:21-43`.
+    """
+    window = algorithm_options.convergence_window
+    if (
+        window >= 2
+        and len(algorithm_options.costs) >= window
+        and len(algorithm_options.costs) % window // 2 == 0
+    ):
+        m = np.array(algorithm_options.costs[-window:])
+        m = np.mean(np.reshape(m, (len(m), -1)), axis=1)
+        p = np.polyfit(x=range(window), y=m, deg=1)
+        if p[0] >= 0:
+            logger.info(
+                f"Considering the last {window:d} epochs, "
+                "the cost function seems converged."
+            )
+            return True
+    return False
+
+
+def batch_indicies(n, m=1, use_random=True, rng=None):
+    """Return list of indices [0...n) as m groups (`opt.py:46-54`)."""
+    assert 0 < m <= n, (m, n)
+    rng = np.random.default_rng() if rng is None else rng
+    i = rng.permutation(n) if use_random else np.arange(n)
+    return np.array_split(i, m)
+
+
+def momentum(g, v, m, vdecay=None, mdecay=0.9):
+    """Classical momentum direction (`opt.py:67-83`)."""
+    m = 0 if m is None else m
+    m = mdecay * m + (1 - mdecay) * g
+    return m, None, m
+
+
+def adagrad(g, v=None, m=None, eps=1e-6):
+    """Adagrad direction (`opt.py:86-121`)."""
+    if v is None:
+        return g, (g * g.conj()).real, m
+    v = v + (g * g.conj()).real
+    return g / jnp.sqrt(v + eps), v, m
+
+
+def adadelta(g, d0=None, v=None, m=None, decay=0.9, eps=1e-6):
+    """Adadelta direction (`opt.py:124-162`)."""
+    v = 0 if v is None else v
+    m = 0 if m is None else m
+    d0 = 0 if d0 is None else d0
+    v = v * decay + (1 - decay) * (g * g.conj()).real
+    m = m * decay + (1 - decay) * (d0 * d0.conj()).real
+    return jnp.sqrt((m + eps) / (v + eps)) * g, v, m
+
+
+def adam(g, v=None, m=None, vdecay=0.999, mdecay=0.9, eps=1e-8):
+    """Adaptive moment estimation direction (`opt.py:165-213`)."""
+    v = jnp.zeros_like(g.real) if v is None else v
+    m = jnp.zeros_like(g) if m is None else m
+    m = mdecay * m + (1 - mdecay) * g
+    v = vdecay * v + (1 - vdecay) * (g * g.conj()).real
+    m_ = m / (1 - mdecay)
+    v_ = jnp.sqrt(v / (1 - vdecay))
+    return m_ / (v_ + eps), v, m
+
+
+def fit_line_least_squares(y, x):
+    """Return the (slope, intercept) of the line fit to (x, y)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    count = len(x)
+    assert count == len(y)
+    sx = x.sum()
+    sy = y.sum()
+    slope = (count * (x * y).sum() - sx * sy) / (
+        count * (x * x).sum() - sx * sx
+    )
+    intercept = (sy - slope * sx) / count
+    return slope, intercept
+
+
+def momentum_checked(
+    g,
+    v,
+    m,
+    mdecay: float,
+    errors: typing.List[float],
+    beta: float = 1.0,
+    memory_length: int = 3,
+    vdecay=None,
+):
+    """Momentum, applied only when the cost is trending downward.
+
+    Port of `_momentum_checked` (`lstsq.py:809-858`). The decision logic is
+    data-dependent and runs on the host between jitted epoch steps; the array
+    updates themselves are jnp.
+    """
+    g = jnp.asarray(g)
+    m = jnp.zeros_like(g) if m is None else m
+    previous_g = (
+        jnp.zeros((memory_length, *g.shape), dtype=g.dtype) if v is None else v
+    )
+
+    previous_g = jnp.roll(previous_g, shift=-1, axis=0)
+    gnorm = la.norm(g)
+    previous_g = previous_g.at[-1].set(g / jnp.where(gnorm == 0, 1, gnorm) * beta)
+
+    if len(errors) > 2 and max(errors[-3], errors[-2]) > min(
+        errors[-2], errors[-1]
+    ):
+        corr = np.asarray(
+            la.inner(previous_g[:-1], previous_g[-1:], axis=(-2, -1)).real
+        ).flatten()
+        if np.all(corr > 0):
+            friction, _ = fit_line_least_squares(
+                x=np.arange(len(corr) + 1),
+                y=[0.0] + np.log(corr).tolist(),
+            )
+            friction = 0.5 * max(-friction, 0)
+            m = (1 - friction) * m + g
+            return mdecay * m, previous_g, m
+
+    return jnp.zeros_like(g), previous_g, m / 2
+
+
+def line_search(
+    f, x, d, update_multi, step_length=1, linesearch_iterations=4, cost=None
+):
+    """Backtracking line search (`opt.py:216-278`).
+
+    Finds a step length along direction d that decreases f; halves the step
+    until improvement or iterations exhausted. Host-side control flow; f may
+    be a jitted function.
+    """
+    step_shrink = 0.5
+    if cost is None:
+        cost = f(x)
+    first_step = step_length
+    for _ in range(linesearch_iterations):
+        xsd = update_multi(x, step_length, d)
+        fxsd = f(xsd)
+        if fxsd <= cost:
+            break
+        step_length *= step_shrink
+    else:
+        step_length = 0
+        fxsd = cost
+        xsd = x
+    # Grow the step for the next iteration if it succeeded on the first try.
+    if step_length == first_step:
+        step_length /= step_shrink
+    return step_length, fxsd, xsd
+
+
+def direction_dy(grad0, grad1, dir_, xp=jnp):
+    """Dai-Yuan conjugate gradient direction (`opt.py:281-310`)."""
+    numer = la.inner(grad1, grad1)
+    denom = jnp.sum((grad1.conj() * dir_).real) - jnp.sum(
+        (grad0.conj() * dir_).real
+    )
+    gamma = numer / jnp.where(denom == 0, 1e-32, denom)
+    return -grad1 + gamma * dir_
+
+
+def conjugate_gradient(
+    array_module,
+    x,
+    cost_function,
+    grad,
+    direction_dy=direction_dy,
+    dir_multi=None,
+    update_multi=None,
+    num_iter=1,
+    step_length=1,
+    num_search=None,
+    cost=None,
+):
+    """Conjugate-gradient minimization with Dai-Yuan directions.
+
+    Functional port of `opt.py:312-380`: num_iter outer iterations, each with
+    a backtracking line search along the CG direction.
+    """
+    update_multi = (
+        (lambda x, gamma, d: x + gamma * d)
+        if update_multi is None
+        else update_multi
+    )
+    num_search = num_iter if num_search is None else num_search
+
+    grad1 = grad(x)
+    dir_ = -grad1
+    for i in range(num_iter):
+        grad0 = grad1
+        if i > 0:
+            grad1 = grad(x)
+            dir_ = direction_dy(grad0, grad1, dir_)
+        if i < num_search:
+            step_length, cost, x = line_search(
+                f=cost_function,
+                x=x,
+                d=dir_,
+                update_multi=update_multi,
+                step_length=step_length,
+                cost=cost,
+            )
+        else:
+            x = update_multi(x, step_length, dir_)
+            cost = None
+    if cost is None:
+        cost = cost_function(x)
+    return x, cost

@@ -1,0 +1,557 @@
+"""User-facing ptychography drivers: reconstruct, Reconstruction, simulate.
+
+TPU-native equivalent of `/root/reference/src/tike/ptycho/ptycho.py:182-1047`.
+
+Differences from the reference driver:
+- No ThreadPool/MPI: data and scan live as (optionally sharded) jax arrays;
+  multi-chip scaling shards the pattern axis over a jax.sharding.Mesh and XLA
+  inserts the collectives that the reference's pool/MPI code did by hand
+  (see tike_tpu.parallel).
+- Mini-batches are padded to one fixed length so each epoch re-runs a single
+  compiled XLA program.
+"""
+
+from __future__ import annotations
+
+import copy
+import logging
+import time
+import typing
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import numpy.typing as npt
+
+import tike_tpu.cluster
+from tike_tpu.ops.ptycho import (
+    PtychoConfig,
+    intensity_from_farplane,
+    ptycho_fwd,
+)
+from tike_tpu.precision import cfloating, floating
+
+from . import object as object_module
+from . import probe as probe_module
+from .position import AffineTransform, affine_position_regularization
+from . import solvers
+from .solvers import PtychoParameters
+from .solvers._preconditioner import update_preconditioners
+
+__all__ = [
+    "reconstruct",
+    "simulate",
+    "Reconstruction",
+    "reconstruct_multigrid",
+]
+
+logger = logging.getLogger(__name__)
+
+
+def simulate(
+    detector_shape: int,
+    probe,
+    scan,
+    psi,
+    fly: int = 1,
+    eigen_probe=None,
+    eigen_weights=None,
+    **kwargs,
+) -> np.ndarray:
+    """Propagate the wavefront to the detector and return intensities.
+
+    Equivalent of `ptycho/ptycho.py:128-179`: per probe mode, apply the
+    varying probe and accumulate |farplane|^2, with fly-scan frame grouping.
+    """
+    probe = np.asarray(probe)
+    psi = np.asarray(psi)
+    scan = np.asarray(scan)
+    cfg = PtychoConfig(
+        probe_shape=probe.shape[-1],
+        detector_shape=detector_shape,
+        nz=psi.shape[-2],
+        n=psi.shape[-1],
+        nslices=psi.shape[0],
+        **{
+            k: v
+            for k, v in kwargs.items()
+            if k
+            in (
+                "probe_wavelength",
+                "probe_FOV_lengths",
+                "multislice_propagation_distance",
+            )
+        },
+    )
+    intensity = 0
+    for m in range(probe.shape[-3]):
+        unique = probe_module.get_varying_probe(
+            jnp.asarray(probe[..., m : m + 1, :, :], dtype=cfloating),
+            None
+            if eigen_probe is None
+            else jnp.asarray(eigen_probe[..., m : m + 1, :, :]),
+            None
+            if eigen_weights is None
+            else jnp.asarray(eigen_weights[..., m : m + 1]),
+        )
+        farplane = ptycho_fwd(
+            cfg,
+            jnp.asarray(psi, dtype=cfloating),
+            jnp.asarray(scan, dtype=floating),
+            jnp.asarray(unique, dtype=cfloating)[:, 0],
+        )
+        intensity = intensity + np.asarray(
+            jnp.sum(
+                jnp.square(jnp.abs(farplane)).reshape(
+                    scan.shape[-2] // fly,
+                    fly,
+                    detector_shape,
+                    detector_shape,
+                ),
+                axis=1,
+            )
+        )
+    return intensity
+
+
+class Reconstruction:
+    """Context manager for ptychography reconstruction.
+
+    Same API as the reference (`ptycho/ptycho.py:265-610`): data structures
+    stay device-resident while the context is open, so `iterate` can be
+    called repeatedly and `get_result` mid-run.
+    """
+
+    def __init__(
+        self,
+        data: npt.NDArray,
+        parameters: PtychoParameters,
+        num_gpu: typing.Union[int, typing.Tuple[int, ...]] = 1,
+        use_mpi: bool = False,
+        mesh=None,
+    ):
+        if (
+            np.any(np.asarray(data.shape) < 1)
+            or data.ndim != 3
+            or data.shape[-2] != data.shape[-1]
+        ):
+            raise ValueError(
+                f"data shape {data.shape} is incorrect. "
+                "It should be (N, W, H), "
+                "where N >= 1 is the number of square diffraction patterns."
+            )
+        if data.shape[0] != parameters.scan.shape[0]:
+            raise ValueError(
+                f"data shape {data.shape} and scan shape "
+                f"{parameters.scan.shape} are incompatible. They should have "
+                "the same leading dimension."
+            )
+        if np.any(
+            np.asarray(parameters.probe.shape[-2:])
+            > np.asarray(data.shape[-2:])
+        ):
+            raise ValueError(
+                f"probe shape {parameters.probe.shape} "
+                f"and data shape {data.shape} are incompatible. "
+                "The probe width/height must be <= the data width/height."
+            )
+        logger.info(
+            "{} on {:,d} - {:,d} by {:,d} frames for at most {:,d} "
+            "epochs.".format(
+                parameters.algorithm_options.name,
+                *data.shape[-3:],
+                parameters.algorithm_options.num_iter,
+            )
+        )
+        self.data_host = data
+        self.parameters_host = copy.deepcopy(parameters)
+        self.mesh = mesh
+        self.operator = PtychoConfig(
+            probe_shape=parameters.probe.shape[-1],
+            detector_shape=data.shape[-1],
+            nz=parameters.psi.shape[-2],
+            n=parameters.psi.shape[-1],
+            nslices=parameters.psi.shape[0],
+            probe_wavelength=(
+                parameters.probe_options.probe_wavelength
+                if parameters.probe_options is not None
+                else 1e-9
+            ),
+            probe_FOV_lengths=(
+                tuple(parameters.probe_options.probe_FOV_lengths)
+                if parameters.probe_options is not None
+                else (1e-6, 1e-6)
+            ),
+            multislice_propagation_distance=(
+                parameters.object_options.multislice_propagation_distance
+                if parameters.object_options is not None
+                else 1e-9
+            ),
+        )
+        self._rng = np.random.default_rng()
+
+    def __enter__(self):
+        data = self.data_host
+        if not np.all(np.isfinite(data)) or np.any(data < 0):
+            warnings.warn(
+                "Diffraction patterns contain invalid data. "
+                "All data should be non-negative and finite.",
+                UserWarning,
+            )
+
+        # Order the data by batches (contiguous in device memory like the
+        # reference, `ptycho.py:371-396`) and build fixed-size batch indices.
+        (
+            order,
+            batches,
+            self.stripe_start,
+        ) = tike_tpu.cluster.by_scan_stripes_contiguous(
+            scan=np.asarray(self.parameters_host.scan),
+            num_stripes=1,
+            batch_method=self.parameters_host.algorithm_options.batch_method,
+            num_batch=self.parameters_host.algorithm_options.num_batch,
+        )
+        self.order = order[0]
+        n_dev = 1 if self.mesh is None else self.mesh.size
+        self.batches = tike_tpu.cluster.batches_padded(
+            batches[0], multiple_of=n_dev
+        )
+
+        sharding = None
+        if self.mesh is not None:
+            from tike_tpu.parallel import batch_sharding, replicated_sharding
+
+            sharding = replicated_sharding(self.mesh)
+            data_sharding = batch_sharding(self.mesh)
+        parameters = PtychoParameters.split(
+            self.order, x=self.parameters_host
+        )
+        self.parameters = parameters.copy_to_device(sharding)
+        dat = jnp.asarray(
+            np.ascontiguousarray(data[self.order]), dtype=floating
+        )
+        if self.mesh is not None:
+            dat = jax.device_put(dat, data_sharding)
+        self.data = dat
+
+        if (
+            self.parameters.probe_options is not None
+            and self.parameters.probe_options.init_rescale_from_measurements
+        ):
+            self.parameters = _rescale_probe(
+                self.operator, self.data, self.parameters
+            )
+        return self
+
+    def iterate(self, num_iter: int) -> None:
+        """Advance the reconstruction by num_iter epochs."""
+        start = time.perf_counter()
+        for _ in range(num_iter):
+            if (
+                np.sum(self.parameters.algorithm_options.times)
+                > self.parameters.algorithm_options.time_limit
+            ):
+                logger.info("Maximum reconstruction time exceeded.")
+                break
+            total_epochs = len(self.parameters.algorithm_options.times)
+            logger.info(
+                f"{self.parameters.algorithm_options.name} epoch "
+                f"{total_epochs:,d}"
+            )
+
+            self.parameters = _apply_probe_constraints(
+                self.parameters, epoch=total_epochs
+            )
+            self.parameters = update_preconditioners(
+                self.operator, self.parameters
+            )
+            solver = getattr(solvers, self.parameters.algorithm_options.name)
+            self.parameters = solver(
+                self.parameters,
+                self.data,
+                self.batches,
+                op=self.operator,
+                epoch=total_epochs,
+                rng=self._rng,
+            )
+            self.parameters = _apply_object_constraints(self.parameters)
+            self.parameters = _apply_position_constraints(self.parameters)
+
+            self.parameters.algorithm_options.times.append(
+                time.perf_counter() - start
+            )
+            start = time.perf_counter()
+            logger.info(
+                "%10s cost is %+1.3e",
+                self.parameters.exitwave_options.noise_model,
+                np.mean(self.parameters.algorithm_options.costs[-1]),
+            )
+
+    def get_scan(self) -> np.ndarray:
+        reorder = np.argsort(self.order)
+        return np.asarray(self.parameters.scan)[reorder]
+
+    def get_result(self) -> PtychoParameters:
+        """Return the current parameter estimates (host copies)."""
+        reorder = np.argsort(self.order)
+        return PtychoParameters.join(
+            [self.parameters.copy_to_host()],
+            reorder,
+            stripe_start=self.stripe_start,
+        )
+
+    def get_convergence(self):
+        """Return the (costs, times) series."""
+        return (
+            self.parameters.algorithm_options.costs,
+            self.parameters.algorithm_options.times,
+        )
+
+    def get_psi(self) -> np.ndarray:
+        return np.asarray(self.parameters.psi)
+
+    def get_probe(self):
+        """Return (probe, eigen_probe, eigen_weights) as numpy arrays."""
+        p = self.parameters
+        reorder = np.argsort(self.order)
+        return (
+            np.asarray(p.probe),
+            None if p.eigen_probe is None else np.asarray(p.eigen_probe),
+            None
+            if p.eigen_weights is None
+            else np.asarray(p.eigen_weights)[reorder],
+        )
+
+    def __exit__(self, type, value, traceback):
+        self.parameters = self.parameters.copy_to_host()
+        self.data = None
+
+    def append_new_data(self, new_data, new_scan):
+        raise NotImplementedError(
+            "Adding data on-the-fly is disabled until further notice."
+        )
+
+
+def reconstruct(
+    data: npt.NDArray,
+    parameters: PtychoParameters,
+    num_gpu: typing.Union[int, typing.Tuple[int, ...]] = 1,
+    use_mpi: bool = False,
+    mesh=None,
+) -> PtychoParameters:
+    """Solve the ptychography problem (functional API).
+
+    Same signature semantics as the reference (`ptycho/ptycho.py:182-254`);
+    `num_gpu`/`use_mpi` are accepted for compatibility and superseded by
+    `mesh`, a jax.sharding.Mesh for multi-chip runs.
+    """
+    with Reconstruction(data, parameters, num_gpu, use_mpi, mesh) as context:
+        context.iterate(parameters.algorithm_options.num_iter)
+        result = context.get_result()
+
+    if (
+        logger.getEffectiveLevel() <= logging.INFO
+    ) and result.position_options:
+        t = result.position_options.transform.asarray()
+        logger.info(
+            "Affine transform parameters:\n"
+            f"{t[0, 0]: .3e}, {t[0, 1]: .3e}\n"
+            f"{t[1, 0]: .3e}, {t[1, 1]: .3e}"
+        )
+    return result
+
+
+def _apply_probe_constraints(
+    parameters: PtychoParameters, *, epoch: int
+) -> PtychoParameters:
+    """Per-epoch probe constraints (`ptycho/ptycho.py:723-810`)."""
+    if parameters.probe_options is not None:
+        popts = parameters.probe_options
+        if popts.recover_probe(epoch):
+            probe = jnp.asarray(parameters.probe)
+            if popts.probe_support > 0:
+                b0 = probe_module.finite_probe_support(
+                    probe,
+                    p=popts.probe_support,
+                    radius=popts.probe_support_radius,
+                    degree=popts.probe_support_degree,
+                )
+                probe = probe - b0 * jnp.conj(b0 * probe)
+            if popts.additional_probe_penalty > 0:
+                b1 = (
+                    popts.additional_probe_penalty
+                    * jnp.linspace(0, 1, probe.shape[-3], dtype=floating)[
+                        ..., None, None
+                    ]
+                )
+                probe = probe - b1 * jnp.conj(b1 * probe)
+            if popts.median_filter_abs_probe:
+                probe = probe_module.apply_median_filter_abs_probe(
+                    probe, med_filt_px=popts.median_filter_abs_probe_px
+                )
+            if popts.force_centered_intensity:
+                probe = probe_module.constrain_center_peak(probe)
+            if popts.force_sparsity < 1:
+                probe = probe_module.constrain_probe_sparsity(
+                    probe, f=popts.force_sparsity
+                )
+            if popts.force_orthogonality:
+                probe, power = probe_module.orthogonalize_eig(probe)
+            else:
+                power = probe_module.power(probe)
+            popts.power.append(np.asarray(power))
+            parameters.probe = probe
+
+        if (
+            parameters.algorithm_options.rescale_method
+            == "constant_probe_photons"
+            and len(parameters.algorithm_options.costs)
+            % parameters.algorithm_options.rescale_period
+            == 0
+        ):
+            parameters.probe = (
+                probe_module.rescale_probe_using_fixed_intensity_photons(
+                    parameters.probe,
+                    Nphotons=popts.probe_photons,
+                    probe_power_fraction=None,
+                )
+            )
+
+        if parameters.eigen_probe is not None and popts.recover_probe(epoch):
+            (
+                parameters.eigen_probe,
+                parameters.eigen_weights,
+            ) = probe_module.constrain_variable_probe(
+                parameters.eigen_probe, parameters.eigen_weights
+            )
+    return parameters
+
+
+def _apply_object_constraints(
+    parameters: PtychoParameters,
+) -> PtychoParameters:
+    """Per-epoch object constraints (`ptycho/ptycho.py:812-853`)."""
+    oopts = parameters.object_options
+    if oopts is None:
+        return parameters
+    if oopts.positivity_constraint:
+        parameters.psi = object_module.positivity_constraint(
+            parameters.psi, r=oopts.positivity_constraint
+        )
+    if oopts.smoothness_constraint:
+        parameters.psi = object_module.smoothness_constraint(
+            parameters.psi, a=oopts.smoothness_constraint
+        )
+    if oopts.clip_magnitude:
+        parameters.psi = object_module.clip_magnitude(
+            parameters.psi, a_max=1.0
+        )
+    if (
+        parameters.algorithm_options.name != "dm"
+        and parameters.algorithm_options.rescale_method == "mean_of_abs_object"
+        and oopts.preconditioner is not None
+        and len(parameters.algorithm_options.costs)
+        % parameters.algorithm_options.rescale_period
+        == 0
+    ):
+        parameters.psi, parameters.probe = (
+            object_module.remove_object_ambiguity(
+                parameters.psi, parameters.probe, oopts.preconditioner
+            )
+        )
+    return parameters
+
+
+def _apply_position_constraints(
+    parameters: PtychoParameters,
+) -> PtychoParameters:
+    """Per-epoch position regularization (`ptycho/ptycho.py:856-868`)."""
+    if parameters.position_options:
+        (
+            parameters.scan,
+            parameters.position_options,
+        ) = affine_position_regularization(
+            updated=parameters.scan,
+            position_options=parameters.position_options,
+        )
+    return parameters
+
+
+def _rescale_probe(
+    cfg: PtychoConfig, data, parameters: PtychoParameters
+) -> PtychoParameters:
+    """Rescale probe so modeled and measured intensity match in total energy.
+
+    Equivalent of `_rescale_probe` (`ptycho/ptycho.py:873-972`).
+    """
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def sums(cfg, data, psi, scan, probe, measured_pixels):
+        intensity = intensity_from_farplane(
+            ptycho_fwd(cfg, psi, scan, probe[:, 0])
+        )
+        w = measured_pixels.astype(intensity.dtype)
+        return (
+            jnp.sum(data * w, dtype=jnp.float64)
+            if data.dtype != jnp.float64
+            else jnp.sum(data * w),
+            jnp.sum(intensity * w, dtype=jnp.float64),
+        )
+
+    s_data, s_model = sums(
+        cfg,
+        data,
+        parameters.psi,
+        parameters.scan,
+        parameters.probe,
+        parameters.exitwave_options.measured_pixels,
+    )
+    rescale = jnp.sqrt(s_data / (s_model + 1e-32)).astype(floating)
+    logger.info("Probe rescaled by %f", float(rescale))
+    parameters.probe = parameters.probe * rescale
+    if np.isnan(parameters.probe_options.probe_photons):
+        parameters.probe_options.probe_photons = float(
+            jnp.sum(jnp.square(jnp.abs(parameters.probe)))
+        )
+    return parameters
+
+
+def reconstruct_multigrid(
+    data: npt.NDArray,
+    parameters: PtychoParameters,
+    num_gpu: typing.Union[int, typing.Tuple[int, ...]] = 1,
+    use_mpi: bool = False,
+    num_levels: int = 3,
+    interp: typing.Callable = None,
+    mesh=None,
+) -> PtychoParameters:
+    """Coarse-to-fine reconstruction (`ptycho/ptycho.py:975-1047`)."""
+    from .solvers.options import _resize_fft, crop_fourier_space
+
+    interp = _resize_fft if interp is None else interp
+    if (data.shape[-1] * 0.5 ** (num_levels - 1)) < 64:
+        warnings.warn(
+            "Cropping diffraction patterns to less than 64 pixels wide is "
+            "not recommended because the full doughnut may be visible."
+        )
+    resampled_parameters = parameters.resample(
+        0.5 ** (num_levels - 1), interp
+    )
+    for level in range(num_levels - 1, -1, -1):
+        with Reconstruction(
+            data=data
+            if level == 0
+            else crop_fourier_space(data, data.shape[-1] // (2**level)),
+            parameters=resampled_parameters,
+            num_gpu=num_gpu,
+            use_mpi=use_mpi,
+            mesh=mesh,
+        ) as context:
+            context.iterate(resampled_parameters.algorithm_options.num_iter)
+            result = context.get_result()
+        if level == 0:
+            return result
+        resampled_parameters = result.resample(2.0, interp)
+    raise RuntimeError("This should not happen.")
