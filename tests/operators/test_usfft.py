@@ -1,0 +1,85 @@
+"""USFFT tests against a direct nonuniform DFT oracle.
+
+Mirrors the reference strategy (`tests/operators/test_usfft.py`): the CUDA
+gather/scatter were validated against numpy `vector_gather/vector_scatter`;
+here we validate eq2us against the exact O(N n^3) direct transform on a small
+grid, and gather/scatter adjointness.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tike_tpu.ops.usfft import (
+    checkerboard,
+    eq2us,
+    gather,
+    scatter,
+    us2eq,
+    usfft_parameters,
+)
+from .util import random_complex, check_adjoint
+
+N_GRID = 16
+N_PTS = 77
+
+
+def _setup(seed=0):
+    rng = np.random.default_rng(seed)
+    f = random_complex(rng, N_GRID, N_GRID, N_GRID)
+    x = (rng.random((N_PTS, 3)) - 0.5).astype(np.float32) * 0.98
+    return f, x
+
+
+def _direct_eq2us(f, x, n):
+    """Exact nonuniform DFT: F(x) = sum_k f[k] exp(-2 pi i x . k)."""
+    k = np.arange(n) - n // 2
+    k0, k1, k2 = np.meshgrid(k, k, k, indexing="ij")
+    F = np.zeros(len(x), dtype=np.complex128)
+    for i, xi in enumerate(x):
+        phase = np.exp(
+            -2j * np.pi * (xi[0] * k0 + xi[1] * k1 + xi[2] * k2)
+        )
+        F[i] = np.sum(f * phase)
+    return F
+
+
+def test_eq2us_matches_direct_dft():
+    f, x = _setup()
+    want = _direct_eq2us(f, x, N_GRID)
+    got = np.asarray(eq2us(jnp.asarray(f), jnp.asarray(x), N_GRID, 1e-6, 2))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3 * np.abs(want).max())
+
+
+def test_gather_scatter_adjoint():
+    f, x = _setup()
+    upsampled, pad, mu, m = usfft_parameters(N_GRID, 1e-6, 2)
+    rng = np.random.default_rng(1)
+    Fe = random_complex(rng, upsampled, upsampled, upsampled)
+    vals = random_complex(rng, N_PTS)
+    g = gather(jnp.asarray(Fe), jnp.asarray(x), upsampled, m, mu)
+    s = scatter(jnp.asarray(vals), jnp.asarray(x), upsampled, m, mu)
+    check_adjoint(g, Fe, s, vals, rtol=1e-3)
+
+
+def test_us2eq_adjoint_of_eq2us():
+    """<eq2us(f), v> == <f, us2eq(v)> for matching grids and upsampling."""
+    f, x = _setup()
+    rng = np.random.default_rng(2)
+    vals = random_complex(rng, N_PTS)
+    F = eq2us(jnp.asarray(f), jnp.asarray(x), N_GRID, 1e-6, 2)
+    # The adjoint of the exp(-2 pi i x k) synthesis is us2eq evaluated at the
+    # negated frequencies (exactly how Lamino.adj calls it, `lamino.py:135`).
+    G = us2eq(jnp.asarray(vals), jnp.asarray(-x), N_GRID, 1e-6, 2)
+    check_adjoint(F, f, G, vals, rtol=1e-3)
+
+
+def test_checkerboard_is_fftshift():
+    rng = np.random.default_rng(3)
+    a = random_complex(rng, 8, 8)
+    # For even sizes: fft(checkerboard(x)) == checkerboard^-1 path equals
+    # fftshift-based centered FFT.
+    got = checkerboard(
+        jnp.fft.fft2(checkerboard(jnp.asarray(a))), inverse=True
+    )
+    want = np.fft.fftshift(np.fft.fft2(np.fft.ifftshift(a)))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)

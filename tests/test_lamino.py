@@ -1,0 +1,84 @@
+"""Laminography operator and solver tests.
+
+Mirrors the reference strategy (`tests/test_lamino.py` + operator adjoint
+tests): adjoint property of the Lamino operator, simulate consistency, and a
+CG reconstruction whose cost decreases.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+import tike_tpu.lamino
+from tike_tpu.ops.lamino import (
+    LaminoConfig,
+    lamino_adj,
+    lamino_fwd,
+    make_grids,
+)
+from .operators.util import random_complex, check_adjoint
+
+N = 16
+NTHETA = 8
+TILT = np.pi / 3
+
+
+def _setup(seed=0):
+    rng = np.random.default_rng(seed)
+    u = random_complex(rng, N, N, N)
+    theta = np.linspace(0, 2 * np.pi, NTHETA, endpoint=False).astype(
+        np.float32
+    )
+    d = random_complex(rng, NTHETA, N, N)
+    return u, theta, d
+
+
+def test_make_grids_matches_kernel_formula():
+    theta = np.array([0.3, 1.2], dtype=np.float32)
+    xi = np.asarray(make_grids(jnp.asarray(theta), N, TILT))
+    assert xi.shape == (2 * N * N, 3)
+    # Check one sample against the scalar formula from grid.cu:36-44.
+    p, y, x = 1, 3, 7
+    kv = (y - N // 2) / N
+    ku = (x - N // 2) / N
+    ct, st = np.cos(theta[p]), np.sin(theta[p])
+    ctl, stl = np.cos(TILT), np.sin(TILT)
+    want = np.array(
+        [kv * stl, -ku * st + kv * ct * ctl, ku * ct + kv * st * ctl]
+    )
+    got = xi[(p * N + y) * N + x]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # NOTE: plane-corner frequencies may exceed [-0.5, 0.5); the gather wraps
+    # them periodically, matching the reference kernel's modulo indexing.
+
+
+def test_lamino_adjoint():
+    u, theta, d = _setup()
+    cfg = LaminoConfig(n=N, tilt=TILT, eps=1e-6, upsample=2)
+    fwd = lamino_fwd(cfg, jnp.asarray(u), jnp.asarray(theta))
+    adj = lamino_adj(cfg, jnp.asarray(d), jnp.asarray(theta))
+    # Lamino.adj's built-in 1/n^2 (`lamino.py:109-144`) exactly cancels the
+    # unnormalized-FFT factors, making it the true adjoint of fwd.
+    check_adjoint(fwd, u, adj, d, rtol=2e-3)
+
+
+def test_cgrad_reconstruction_converges():
+    rng = np.random.default_rng(4)
+    # A smooth-ish object is recoverable from many angles.
+    u = np.zeros((N, N, N), dtype=np.complex64)
+    u[4:12, 4:12, 4:12] = 1.0 + 0.5j
+    theta = np.linspace(0, 2 * np.pi, 32, endpoint=False).astype(np.float32)
+    data = tike_tpu.lamino.simulate(u, theta, TILT, eps=1e-6, upsample=2)
+
+    result = tike_tpu.lamino.reconstruct(
+        data,
+        theta,
+        TILT,
+        algorithm="cgrad",
+        num_iter=8,
+        eps=1e-6,
+        upsample=2,
+        cg_iter=4,
+    )
+    costs = result["cost"]
+    assert np.all(np.isfinite(costs))
+    assert costs[-1] < 0.3 * costs[0], costs

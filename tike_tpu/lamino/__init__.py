@@ -1,0 +1,4 @@
+"""Laminography: recover a 3D complex volume from tilted projections."""
+
+from .lamino import reconstruct, simulate
+from . import solvers

@@ -1,0 +1,102 @@
+"""Laminography operator: 3D USFFT onto tilted projection planes.
+
+TPU-native equivalent of `/root/reference/src/tike/operators/cupy/lamino.py`
+and the `make_grids` CUDA kernel (`grid.cu:13-47`). The forward transform maps
+a cubic volume u (n,n,n) to complex projections (ntheta, n, n) by evaluating
+the volume's 3D Fourier transform on planes tilted by `tilt` and rotated by
+each theta (Fourier slice theorem), then inverse 2D FFTing each plane.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .usfft import eq2us, us2eq
+
+
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class LaminoConfig:
+    """Static configuration of the laminography operator."""
+
+    n: int
+    tilt: float
+    eps: float = 1e-3
+    upsample: float = 1.0
+
+
+def make_grids(theta, n: int, tilt: float):
+    """Return (ntheta * n * n, 3) tilted-plane frequencies for the USFFT.
+
+    Pure-jnp equivalent of `grid.cu:13-47`: for each rotation theta, an
+    (n, n) grid of planar frequencies (ku, kv) in [-0.5, 0.5) maps to 3D as
+    f = (kv sin(tilt), -ku sin(th) + kv cos(th) cos(tilt),
+         ku cos(th) + kv sin(th) cos(tilt)).
+    """
+    k = (jnp.arange(n) - n // 2).astype(jnp.float32) / n
+    ku = k[None, :]  # x varies along the last axis
+    kv = k[:, None]
+    ctilt, stilt = jnp.cos(tilt), jnp.sin(tilt)
+    ctheta = jnp.cos(theta)[:, None, None]
+    stheta = jnp.sin(theta)[:, None, None]
+    f0 = jnp.broadcast_to(kv * stilt, (theta.shape[0], n, n))
+    f1 = -ku * stheta + kv * ctheta * ctilt
+    f2 = ku * ctheta + kv * stheta * ctilt
+    return jnp.stack([f0, f1, f2], axis=-1).reshape(-1, 3)
+
+
+def _centered_ifft2(F):
+    """Zero-centered inverse 2D FFT (the reference's checkerboard pair)."""
+    return jnp.fft.fftshift(
+        jnp.fft.ifft2(jnp.fft.ifftshift(F, axes=(-2, -1)), axes=(-2, -1)),
+        axes=(-2, -1),
+    )
+
+
+def _centered_fft2(d):
+    return jnp.fft.fftshift(
+        jnp.fft.fft2(jnp.fft.ifftshift(d, axes=(-2, -1)), axes=(-2, -1)),
+        axes=(-2, -1),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def lamino_fwd(cfg: LaminoConfig, u, theta):
+    """Forward laminography: volume (n,n,n) -> projections (ntheta, n, n).
+
+    Mirrors `lamino.py:73-107`: eq2us onto the tilted planes, then inverse
+    2D FFT of each plane.
+    """
+    xi = make_grids(theta, cfg.n, cfg.tilt)
+    F = eq2us(u, xi, cfg.n, cfg.eps, cfg.upsample).reshape(
+        theta.shape[0], cfg.n, cfg.n
+    )
+    return _centered_ifft2(F)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def lamino_adj(cfg: LaminoConfig, data, theta):
+    """Adjoint laminography: projections -> volume (`lamino.py:109-144`)."""
+    xi = make_grids(theta, cfg.n, cfg.tilt)
+    F = _centered_fft2(data).reshape(-1)
+    u = us2eq(F, -xi, cfg.n, cfg.eps, cfg.upsample)
+    return u / cfg.n**2
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def lamino_cost(cfg: LaminoConfig, data, theta, obj):
+    """Least-squares cost (`lamino.py:146-152`)."""
+    diff = lamino_fwd(cfg, obj, theta) - data
+    return jnp.sum((diff * jnp.conj(diff)).real)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def lamino_grad(cfg: LaminoConfig, data, theta, obj):
+    """Least-squares gradient (`lamino.py:154-164`)."""
+    out = lamino_adj(cfg, lamino_fwd(cfg, obj, theta) - data, theta)
+    return out / (data.shape[-3] * cfg.n**3)

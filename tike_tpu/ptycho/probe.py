@@ -208,8 +208,8 @@ def constrain_variable_probe(variable_probe, weights):
         la.norm(weights[..., 1:, :probes_with_modes], axis=-3, keepdims=True)
         ** 2
     )
-    weights = np.asarray(weights)
-    variable_probe = np.asarray(variable_probe)
+    weights = np.array(weights)  # writable host copies for the sort
+    variable_probe = np.array(variable_probe)
     for i in range(probes_with_modes):
         order = np.argsort(-np.asarray(power)[..., i].flatten())
         weights[..., 1:, i] = weights[..., 1 + order, i]

@@ -223,13 +223,16 @@ class Reconstruction:
             from tike_tpu.parallel import batch_sharding, replicated_sharding
 
             sharding = replicated_sharding(self.mesh)
-            data_sharding = batch_sharding(self.mesh)
+            data_sharding = batch_sharding(self.mesh, axis=1)
         parameters = PtychoParameters.split(
             self.order, x=self.parameters_host
         )
         self.parameters = parameters.copy_to_device(sharding)
+        # Store data batch-major (num_batch, L, DET, DET) so per-batch slices
+        # never cross device-shard boundaries (the L axis is sharded).
+        batch_idx, _ = self.batches
         dat = jnp.asarray(
-            np.ascontiguousarray(data[self.order]), dtype=floating
+            np.ascontiguousarray(data[self.order][batch_idx]), dtype=floating
         )
         if self.mesh is not None:
             dat = jax.device_put(dat, data_sharding)
@@ -240,7 +243,10 @@ class Reconstruction:
             and self.parameters.probe_options.init_rescale_from_measurements
         ):
             self.parameters = _rescale_probe(
-                self.operator, self.data, self.parameters
+                self.operator,
+                self.data,
+                jnp.asarray(self.batches[1]),
+                self.parameters,
             )
         return self
 
@@ -479,30 +485,32 @@ def _apply_position_constraints(
 
 
 def _rescale_probe(
-    cfg: PtychoConfig, data, parameters: PtychoParameters
+    cfg: PtychoConfig, data, batch_mask, parameters: PtychoParameters
 ) -> PtychoParameters:
     """Rescale probe so modeled and measured intensity match in total energy.
 
-    Equivalent of `_rescale_probe` (`ptycho/ptycho.py:873-972`).
+    Equivalent of `_rescale_probe` (`ptycho/ptycho.py:873-972`). `data` is
+    batch-major (num_batch, L, DET, DET); `batch_mask` (num_batch, L) zeroes
+    padded slots so they are not double-counted.
     """
     import functools
 
     @functools.partial(jax.jit, static_argnames=("cfg",))
-    def sums(cfg, data, psi, scan, probe, measured_pixels):
+    def sums(cfg, data, batch_mask, psi, scan, probe, measured_pixels):
         intensity = intensity_from_farplane(
             ptycho_fwd(cfg, psi, scan, probe[:, 0])
         )
         w = measured_pixels.astype(intensity.dtype)
-        return (
-            jnp.sum(data * w, dtype=jnp.float64)
-            if data.dtype != jnp.float64
-            else jnp.sum(data * w),
-            jnp.sum(intensity * w, dtype=jnp.float64),
+        s_data = jnp.sum(
+            jnp.sum(data * w, axis=(-2, -1)) * batch_mask
         )
+        s_model = jnp.sum(intensity * w)
+        return s_data, s_model
 
     s_data, s_model = sums(
         cfg,
         data,
+        batch_mask,
         parameters.psi,
         parameters.scan,
         parameters.probe,

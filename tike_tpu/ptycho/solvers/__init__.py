@@ -9,11 +9,13 @@ from .options import (
     pad_fourier_space,
 )
 from ._preconditioner import update_preconditioners
+from .lstsq import lstsq_grad
 from .rpie import rpie
 
 __all__ = [
     "crop_fourier_space",
     "pad_fourier_space",
+    "lstsq_grad",
     "LstsqOptions",
     "PtychoParameters",
     "rpie",

@@ -63,7 +63,7 @@ def _masked_mean_each_pattern(elem, pixel_mask):
 )
 def _batch_gradients(
     cfg: PtychoConfig,
-    data,
+    data_b,
     scan,
     idx,
     bmask,
@@ -83,14 +83,14 @@ def _batch_gradients(
     """Forward + exitwave step + backpropagated numerators for one batch.
 
     Equivalent of `_get_nearplane_gradients` (`rpie.py:315-567`) minus the
-    stream pipeline. idx (B,) indexes into full device-resident data/scan;
-    bmask (B,) zeroes contributions of padded batch slots.
+    stream pipeline. data_b (B, DET, DET) is this batch's (batch-major,
+    possibly device-sharded) slice of the data; idx (B,) indexes into the
+    full scan / eigen weights; bmask (B,) zeroes padded batch slots.
 
     Returns (costs (B,), psi_num (D,H,W), probe_num (D,1,1,M,P,P),
     eigen_weight_delta (B,) or None).
     """
     nmodes = probe.shape[-3]
-    data_b = jnp.take(data, idx, axis=0)
     scan_b = jnp.take(scan, idx, axis=0)
 
     if eigen_weights is not None:
@@ -332,9 +332,12 @@ def rpie(
     for n in order:
         idx = jnp.asarray(batch_idx[n])
         bmask = jnp.asarray(batch_mask[n])
+        # data may be batch-major (num_batch, L, DET, DET) or flat
+        # (N, DET, DET); slice or gather accordingly.
+        data_b = data[n] if data.ndim == 4 else jnp.take(data, idx, axis=0)
         costs, psi_num, probe_num, eigen_delta = _batch_gradients(
             op,
-            data,
+            data_b,
             scan,
             idx,
             bmask,
