@@ -9,5 +9,11 @@ communicator stack.
 
 __version__ = "0.1.0"
 
+from . import cluster
+from . import constants
 from . import linalg
+from . import opt
 from . import precision
+from . import random
+from . import scan
+from . import trajectory

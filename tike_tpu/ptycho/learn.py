@@ -1,0 +1,26 @@
+"""Helpers for generating ptychographic deep-learning training data.
+
+Equivalent of `/root/reference/src/tike/ptycho/learn.py`.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from tike_tpu.ops.patch import patch_fwd
+from .position import check_allowed_positions
+
+__all__ = ["extract_patches"]
+
+
+def extract_patches(psi, scan, patch_width):
+    """Extract patches of psi at the given scan positions.
+
+    psi (H, W) complex; scan (POSI, 2) float32; returns
+    (POSI, patch_width, patch_width) complex64 numpy array.
+    """
+    check_allowed_positions(scan, psi, (patch_width, patch_width))
+    return np.asarray(
+        patch_fwd(jnp.asarray(psi), jnp.asarray(scan), patch_width)
+    )

@@ -29,6 +29,7 @@ from tike_tpu.ops.ptycho import (
     PtychoConfig,
     intensity_from_farplane,
     ptycho_fwd,
+    simulate_intensity,
 )
 from tike_tpu.precision import cfloating, floating
 
@@ -95,23 +96,19 @@ def simulate(
             if eigen_weights is None
             else jnp.asarray(eigen_weights[..., m : m + 1]),
         )
-        farplane = ptycho_fwd(
+        # One jitted program per mode: eager op-by-op dispatch is both slower
+        # and less reliable on the tunneled TPU backend.
+        mode_intensity = simulate_intensity(
             cfg,
             jnp.asarray(psi, dtype=cfloating),
             jnp.asarray(scan, dtype=floating),
             jnp.asarray(unique, dtype=cfloating)[:, 0],
         )
-        intensity = intensity + np.asarray(
-            jnp.sum(
-                jnp.square(jnp.abs(farplane)).reshape(
-                    scan.shape[-2] // fly,
-                    fly,
-                    detector_shape,
-                    detector_shape,
-                ),
-                axis=1,
-            )
-        )
+        intensity = intensity + np.asarray(mode_intensity)
+    if fly > 1:
+        intensity = intensity.reshape(
+            scan.shape[-2] // fly, fly, detector_shape, detector_shape
+        ).sum(axis=1)
     return intensity
 
 

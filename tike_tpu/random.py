@@ -1,0 +1,48 @@
+"""Random number helpers for complex data types.
+
+Equivalent of `/root/reference/src/tike/random.py`. A module-level seeded
+generator provides reproducible host-side randomness (batch permutations,
+RANSAC subsets); jax PRNG keys are used inside jitted code.
+"""
+
+import numpy as np
+
+from .precision import cfloating, floating
+
+randomizer_np = np.random.default_rng()
+
+
+def numpy_complex(*shape, rng=None):
+    """Return a complex random array in the range [-0.5, 0.5)."""
+    rng = randomizer_np if rng is None else rng
+    return (
+        rng.random(size=(*shape, 2), dtype=floating) - 0.5
+    ).view(cfloating)[..., 0]
+
+
+def cluster_wobbly_center(*args, **kwargs):
+    """Deprecated alias for :py:func:`tike_tpu.cluster.wobbly_center`."""
+    import warnings
+
+    warnings.warn(
+        "tike_tpu.random.cluster_wobbly_center is deprecated. "
+        "Use tike_tpu.cluster.wobbly_center instead.",
+        DeprecationWarning,
+    )
+    import tike_tpu.cluster
+
+    return tike_tpu.cluster.wobbly_center(*args, **kwargs)
+
+
+def cluster_compact(*args, **kwargs):
+    """Deprecated alias for :py:func:`tike_tpu.cluster.compact`."""
+    import warnings
+
+    warnings.warn(
+        "tike_tpu.random.cluster_compact is deprecated. "
+        "Use tike_tpu.cluster.compact instead.",
+        DeprecationWarning,
+    )
+    import tike_tpu.cluster
+
+    return tike_tpu.cluster.compact(*args, **kwargs)
