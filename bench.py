@@ -14,6 +14,42 @@ import time
 import numpy as np
 
 
+def _simulate_numpy(det, probe, scan, psi):
+    """Host-side (numpy) forward model for benchmark data generation.
+
+    Kept off-device because the tunneled TPU backend cannot transfer large
+    computed arrays back to the host (only small results and direct uploads).
+    """
+    p = probe.shape[-1]
+    probe2d = probe[0, 0]  # (M, P, P)
+    corner = np.floor(scan).astype(np.int64)
+    frac = scan - corner
+    n = len(scan)
+    out = np.empty((n, det, det), np.float32)
+    chunk = 512
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        pats = np.empty((hi - lo, p, p), np.complex64)
+        for k, (c, f) in enumerate(zip(corner[lo:hi], frac[lo:hi])):
+            win = psi[0, c[0] : c[0] + p + 1, c[1] : c[1] + p + 1]
+            fy, fx = f
+            pats[k] = (
+                (1 - fy) * (1 - fx) * win[:-1, :-1]
+                + (1 - fy) * fx * win[:-1, 1:]
+                + fy * (1 - fx) * win[1:, :-1]
+                + fy * fx * win[1:, 1:]
+            )
+        near = pats[:, None] * probe2d[None]  # (B, M, P, P)
+        pad = (det - p) // 2
+        if pad:
+            near = np.pad(
+                near, ((0, 0), (0, 0), (pad, det - p - pad), (pad, det - p - pad))
+            )
+        far = np.fft.fft2(near, norm="ortho")
+        out[lo:hi] = np.sum(np.abs(far) ** 2, axis=1)
+    return out
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -26,6 +62,10 @@ def main():
     num_batch = 10
     hw = 1500
 
+    # Tiny warmup op: the tunneled backend's first program on a cold remote
+    # compiler is unreliable; a small program first stabilizes it.
+    jax.block_until_ready(jnp.ones((8, 128)) @ jnp.ones((128, 8)))
+
     rng = np.random.default_rng(0)
     scan = np.stack(
         [
@@ -37,18 +77,13 @@ def main():
     probe = (
         (tp.gaussian(probe_shape) * np.exp(1j * 0.2 * tp.gaussian(probe_shape)))
     )[None, None, None].astype(np.complex64)
-    # Synthetic object; data simulated in chunks to bound memory.
     yy, xx = np.mgrid[0:hw, 0:hw] / hw
     psi = (
         np.exp(1j * 0.5 * np.sin(17 * yy) * np.cos(13 * xx))
         * (0.9 + 0.1 * np.cos(23 * xx * yy))
     ).astype(np.complex64)[None]
 
-    data = np.empty((n_patterns, det, det), np.float32)
-    chunk = 2000
-    for lo in range(0, n_patterns, chunk):
-        hi = min(lo + chunk, n_patterns)
-        data[lo:hi] = tp.simulate(det, probe, scan[lo:hi], psi)
+    data = _simulate_numpy(det, probe, scan, psi)
 
     params = tp.PtychoParameters(
         probe=probe,

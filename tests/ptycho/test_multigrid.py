@@ -1,0 +1,62 @@
+"""Multigrid reconstruction tests (`tests/ptycho/test_multigrid.py`)."""
+
+import unittest
+
+import numpy as np
+
+import tike_tpu.ptycho as tp
+from tike_tpu.ptycho.solvers.options import (
+    _resize_fft,
+    crop_fourier_space,
+    pad_fourier_space,
+)
+
+from .templates import SiemensStarSetup
+
+
+class TestFourierResize(unittest.TestCase):
+    def test_crop_then_pad_preserves_low_frequencies(self):
+        rng = np.random.default_rng(0)
+        x = (rng.standard_normal((3, 32, 32))
+             + 1j * rng.standard_normal((3, 32, 32))).astype(np.complex64)
+        f = np.fft.fft2(x)
+        small = crop_fourier_space(f, 16)
+        back = pad_fourier_space(small, 32)
+        # Low frequencies (corners) unchanged.
+        np.testing.assert_allclose(back[..., :8, :8], f[..., :8, :8])
+        np.testing.assert_allclose(back[..., -8:, -8:], f[..., -8:, -8:])
+
+    def test_resize_fft_round_trip(self):
+        rng = np.random.default_rng(1)
+        x = (rng.standard_normal((2, 16, 16))
+             + 1j * rng.standard_normal((2, 16, 16))).astype(np.complex64)
+        up = _resize_fft(x, 2.0)
+        assert up.shape == (2, 32, 32)
+        down = _resize_fft(up, 0.5)
+        np.testing.assert_allclose(down, x, rtol=1e-4, atol=1e-5)
+
+
+class TestMultigrid(SiemensStarSetup, unittest.TestCase):
+    def setUp(self):
+        SiemensStarSetup.setUp(self)
+
+    def test_reconstruct_multigrid(self):
+        params = tp.PtychoParameters(
+            probe=self.probe.copy(),
+            psi=self.psi.copy(),
+            scan=self.scan.copy(),
+            algorithm_options=tp.RpieOptions(num_batch=5, num_iter=2),
+            object_options=tp.ObjectOptions(),
+            probe_options=tp.ProbeOptions(),
+        )
+        result = tp.reconstruct_multigrid(
+            data=self.data, parameters=params, num_levels=2
+        )
+        costs = [c[0] for c in result.algorithm_options.costs]
+        assert np.all(np.isfinite(costs)), costs
+        assert result.psi.shape == self.psi.shape
+        assert result.probe.shape == self.probe.shape
+
+
+if __name__ == "__main__":
+    unittest.main()

@@ -1,0 +1,117 @@
+"""Position correction tests.
+
+Mirrors the reference strategy (`tests/ptycho/test_position.py`): reconstruct
+with perturbed positions and check the estimated positions move toward truth;
+plus unit tests of the AffineTransform fit and RANSAC.
+"""
+
+import unittest
+
+import numpy as np
+
+import tike_tpu.ptycho as tp
+from tike_tpu.ptycho.position import (
+    AffineTransform,
+    estimate_global_transformation,
+    estimate_global_transformation_ransac,
+)
+
+
+class TestAffineTransform(unittest.TestCase):
+    def test_decompose_recompose(self):
+        t = AffineTransform(
+            scale0=1.1, scale1=0.9, shear1=0.1, angle=0.3, t0=2.0, t1=-1.0
+        )
+        matrix = t.asarray()
+        t2 = AffineTransform.fromarray(matrix)
+        np.testing.assert_allclose(
+            t2.asarray(), matrix, rtol=1e-5, atol=1e-6
+        )
+
+    def test_lstsq_fit_recovers_transform(self):
+        rng = np.random.default_rng(0)
+        truth = AffineTransform(
+            scale0=1.05, scale1=0.95, shear1=0.05, angle=0.1, t0=1.0, t1=2.0
+        )
+        pos0 = rng.uniform(-50, 50, (200, 2))
+        pos1 = truth(pos0)
+        est, err = estimate_global_transformation(pos0, pos1)
+        np.testing.assert_allclose(
+            est.asarray(), truth.asarray(), rtol=1e-4, atol=1e-5
+        )
+        assert err < 1e-3
+
+    def test_ransac_robust_to_outliers(self):
+        rng = np.random.default_rng(1)
+        truth = AffineTransform(scale0=1.02, scale1=0.98, angle=0.05)
+        pos0 = rng.uniform(-50, 50, (200, 2))
+        pos1 = truth(pos0)
+        # Corrupt 15% of correspondences wildly.
+        bad = rng.choice(200, 30, replace=False)
+        pos1[bad] += rng.uniform(100, 200, (30, 2))
+        est, _ = estimate_global_transformation_ransac(
+            pos0, pos1, max_error=5, rng=rng
+        )
+        np.testing.assert_allclose(
+            est.asarray(), truth.asarray(), rtol=1e-3, atol=1e-4
+        )
+
+
+class TestPositionCorrection(unittest.TestCase):
+    """Position correction keeps errors bounded while cost decreases.
+
+    NOTE: Like the reference (whose position tests check consistency, not
+    error reduction — `tests/ptycho/test_position.py:190-426`), per-position
+    correction is degenerate with object deformation; useful operation
+    requires the magnitude limit + affine regularization, which keeps the
+    error bounded while the cost drops.
+    """
+
+    def test_lstsq_positions_bounded_with_regularization(self):
+        rng = np.random.default_rng(2)
+        P, HW, N = 16, 160, 400
+        yy, xx = np.mgrid[0:HW, 0:HW] / HW
+        psi = (
+            np.exp(1j * (np.sin(9 * yy) * np.cos(7 * xx)))
+            * (0.8 + 0.2 * np.cos(11 * xx * yy))
+        ).astype(np.complex64)[None]
+        probe = (tp.gaussian(P) * np.exp(1j * 0.2 * tp.gaussian(P)))[
+            None, None, None
+        ].astype(np.complex64)
+        true_scan = np.stack(
+            [
+                rng.uniform(20, HW - P - 21, N),
+                rng.uniform(20, HW - P - 21, N),
+            ],
+            -1,
+        ).astype(np.float32)
+        data = tp.simulate(P, probe, true_scan, psi).astype(np.float32)
+
+        bad_scan = true_scan + rng.uniform(-1, 1, (N, 2)).astype(np.float32)
+        params = tp.PtychoParameters(
+            probe=probe.copy(),
+            psi=np.full_like(psi, 0.5),
+            scan=bad_scan.copy(),
+            algorithm_options=tp.LstsqOptions(num_batch=4, num_iter=8),
+            object_options=tp.ObjectOptions(),
+            probe_options=tp.ProbeOptions(),
+            position_options=tp.PositionOptions(
+                bad_scan.copy(),
+                update_magnitude_limit=0.2,
+                use_position_regularization=True,
+            ),
+        )
+        result = tp.reconstruct(data, params)
+        err_before = np.linalg.norm(bad_scan - true_scan, axis=-1).mean()
+        err_after = np.linalg.norm(result.scan - true_scan, axis=-1).mean()
+        costs = [np.mean(c) for c in result.algorithm_options.costs]
+        print(f"position error: {err_before:.3f} -> {err_after:.3f}")
+        assert costs[-1] < costs[0]
+        assert err_after < 2 * err_before
+        # The affine transform estimate should stay near identity.
+        t = result.position_options.transform
+        assert abs(t.scale0 - 1) < 0.1 and abs(t.scale1 - 1) < 0.1
+
+
+if __name__ == "__main__":
+    unittest.main()

@@ -1,0 +1,146 @@
+"""Joint ptycho-tomography reconstruction by ADMM.
+
+Re-derivation of the reference's legacy joint pipeline
+(`/root/reference/src/broken/tike.py:87-178`,
+`src/broken/ptycho/solvers/admm.py:26-215`) over the new TPU-native
+primitives. The legacy code targets an older API and does not run against the
+current reference; this module implements the same splitting for the modern
+stack, with the laminography operator standing in for the Radon transform
+(tilt = pi/2 is conventional tomography, SURVEY.md §2.1).
+
+Problem: recover a 3D complex refractive index `obj` from ptychographic
+diffraction measurements at multiple rotation angles. Split variables:
+
+    minimize  sum_t ptycho_cost(data_t; psi_t)
+    s.t.      psi_t = exp(i k voxelsize * P_t(obj))      (P_t = projection)
+
+ADMM iteration (rho = penalty, lamda = scaled dual):
+  1. psi_t  <- ptycho epochs on data_t, then proximal blend toward
+               hobj_t - lamda_t/rho
+  2. phi_t  = -i/k * log(psi_t + lamda_t/rho) / voxelsize
+  3. obj    <- laminography CG fit of phi
+  4. hobj_t = exp(i k voxelsize P_t(obj))
+  5. lamda += rho (hobj - psi)
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+import logging
+import typing
+
+import jax.numpy as jnp
+import numpy as np
+
+import tike_tpu.lamino
+from tike_tpu.constants import wavenumber
+from tike_tpu.ops.lamino import LaminoConfig, lamino_fwd
+from tike_tpu.ptycho.solvers import PtychoParameters
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["reconstruct_joint_admm"]
+
+
+def reconstruct_joint_admm(
+    data: typing.Sequence[np.ndarray],
+    parameters: typing.Sequence[PtychoParameters],
+    theta: np.ndarray,
+    tilt: float = np.pi / 2,
+    obj: np.ndarray | None = None,
+    voxelsize: float = 1.0,
+    energy: float = 10.0,
+    num_iter: int = 1,
+    rho: float = 0.5,
+    ptycho_iter: int = 2,
+    lamino_iter: int = 2,
+    eps: float = 1e-3,
+    upsample: float = 2.0,
+):
+    """Jointly reconstruct a 3D object from multi-angle ptychography.
+
+    Parameters
+    ----------
+    data : list of (POSI, DET, DET) float32, one per rotation angle
+    parameters : list of PtychoParameters, one per angle (psi is the
+        per-angle projection transmission estimate)
+    theta : (T,) float32 rotation angles [radians]
+    tilt : float, angle between rotation axis and beam (pi/2 = tomography)
+    voxelsize : float [cm], object voxel side length
+    energy : float [keV], probe energy
+
+    Returns
+    -------
+    dict with 'obj' (N, N, N) complex64, 'parameters' (updated list),
+    'costs' (per-iteration mean ptycho cost).
+    """
+    import tike_tpu.ptycho as tp
+
+    T = len(theta)
+    assert len(data) == T and len(parameters) == T
+    n = parameters[0].psi.shape[-1]
+    k = wavenumber(energy)
+    if obj is None:
+        obj = np.zeros((n, n, n), dtype=np.complex64)
+    cfg = LaminoConfig(n=n, tilt=float(tilt), eps=eps, upsample=upsample)
+
+    psi = np.stack([np.asarray(p.psi)[0] for p in parameters])  # (T, n, n)
+    hobj = np.ones_like(psi)
+    lamda = np.zeros_like(psi)
+    params = [copy.deepcopy(p) for p in parameters]
+    costs = []
+
+    for it in range(num_iter):
+        # 1. Per-angle ptychography with proximal blend toward the consensus.
+        angle_costs = []
+        for t in range(T):
+            params[t].psi = psi[t][None].copy()
+            params[t].algorithm_options.num_iter = ptycho_iter
+            params[t] = tp.reconstruct(data[t], params[t])
+            angle_costs.append(
+                float(np.mean(params[t].algorithm_options.costs[-1]))
+            )
+            target = hobj[t] - lamda[t] / rho
+            psi[t] = (
+                np.asarray(params[t].psi)[0] + rho * target
+            ) / (1 + rho)
+        costs.append(float(np.mean(angle_costs)))
+
+        # 2. Log-linearize the projections.
+        phi = (
+            -1j / k * np.log(psi + lamda / rho + 1e-12) / voxelsize
+        ).astype(np.complex64)
+
+        # 3. Fit the volume to the projections.
+        result = tike_tpu.lamino.reconstruct(
+            data=phi,
+            theta=theta,
+            tilt=tilt,
+            algorithm="cgrad",
+            obj=obj,
+            num_iter=lamino_iter,
+            eps=eps,
+            upsample=upsample,
+        )
+        obj = result["obj"].astype(np.complex64)
+
+        # 4. Re-project and re-exponentiate the consensus variable.
+        line_integrals = np.asarray(
+            lamino_fwd(
+                cfg,
+                jnp.asarray(obj),
+                jnp.asarray(theta, dtype=jnp.float32),
+            )
+        ) * voxelsize
+        hobj = np.exp(1j * k * line_integrals).astype(np.complex64)
+
+        # 5. Dual update.
+        lamda = lamda + rho * (hobj - psi)
+        logger.info(
+            "ADMM iteration %d: ptycho cost %.3e", it, costs[-1]
+        )
+
+    for t in range(T):
+        params[t].psi = psi[t][None]
+    return {"obj": obj, "parameters": params, "costs": costs}

@@ -1,4 +1,5 @@
 """Laminography: recover a 3D complex volume from tilted projections."""
 
 from .lamino import reconstruct, simulate
+from . import bucket
 from . import solvers

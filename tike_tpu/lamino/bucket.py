@@ -1,20 +1,19 @@
-"""Laminography drivers: reconstruct and simulate.
+"""Bucket laminography drivers: reconstruct and simulate.
 
-TPU-native equivalent of `/root/reference/src/tike/lamino/lamino.py:67-179`.
-The reference scatters data/theta over a GPU ThreadPool; here the theta axis
-is the natural sharding axis (projections are independent in the forward
-model) — shard data/theta over a mesh and XLA reduces the gradient.
+TPU-native equivalent of `/root/reference/src/tike/lamino/bucket.py:91-188`.
+The reference splits the voxel grid across MPI ranks / device groups
+(object-domain model parallelism); here the grid/volume pair can be sharded
+over a mesh axis for the same effect.
 """
 
 from __future__ import annotations
 
 import logging
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tike_tpu.ops.lamino import LaminoConfig, lamino_fwd
+from tike_tpu.ops.bucket import BucketConfig, bucket_fwd, make_grid
 from . import solvers
 
 __all__ = ["reconstruct", "simulate"]
@@ -22,17 +21,18 @@ __all__ = ["reconstruct", "simulate"]
 logger = logging.getLogger(__name__)
 
 
-def simulate(obj, theta, tilt, eps=1e-3, upsample=1, **kwargs):
-    """Return complex values of simulated laminography data."""
+def simulate(obj, theta, tilt, eps=1.0, **kwargs):
+    """Return complex projections simulated with the Bucket operator."""
     assert obj.ndim == 3
     assert np.ndim(theta) == 1
-    cfg = LaminoConfig(
-        n=obj.shape[-1], tilt=float(tilt), eps=float(eps), upsample=upsample
-    )
-    data = lamino_fwd(
+    n = obj.shape[-1]
+    cfg = BucketConfig.from_eps(n=n, tilt=float(tilt), eps=eps)
+    grid = make_grid(n)
+    data = bucket_fwd(
         cfg,
         jnp.asarray(obj, dtype=jnp.complex64),
         jnp.asarray(theta, dtype=jnp.float32),
+        jnp.asarray(grid),
     )
     return np.asarray(data)
 
@@ -41,55 +41,38 @@ def reconstruct(
     data,
     theta,
     tilt,
-    algorithm,
+    algorithm="bucket",
     obj=None,
     num_iter=1,
     rtol=-1,
-    eps=1e-3,
+    eps=1e-1,
     num_gpu=1,
-    upsample=1,
-    mesh=None,
+    obj_split=1,
+    use_mpi=False,
     **kwargs,
 ):
-    """Solve the laminography problem using the given algorithm.
-
-    Same parameters as the reference (`lamino/lamino.py:89-179`); `mesh`
-    optionally shards the theta axis across devices.
-    """
+    """Solve the laminography problem with the Bucket operator."""
     n = data.shape[2]
     obj = np.zeros([n, n, n], dtype="complex64") if obj is None else obj
-    if algorithm == "bucket":
-        raise ValueError(
-            "Use tike_tpu.lamino.bucket.reconstruct for the bucket solver."
-        )
     if algorithm not in solvers.__all__:
         raise ValueError(
             "The '{}' algorithm is not an available.".format(algorithm)
         )
-    cfg = LaminoConfig(
-        n=obj.shape[-1], tilt=float(tilt), eps=float(eps), upsample=upsample
-    )
+    cfg = BucketConfig.from_eps(n=n, tilt=float(tilt), eps=eps)
+    grid = jnp.asarray(make_grid(n))
     data_d = jnp.asarray(data, dtype=jnp.complex64)
     theta_d = jnp.asarray(theta, dtype=jnp.float32)
-    obj_d = jnp.asarray(obj, dtype=jnp.complex64)
-    if mesh is not None:
-        from tike_tpu.parallel import batch_sharding, replicated_sharding
-
-        data_d = jax.device_put(data_d, batch_sharding(mesh))
-        theta_d = jax.device_put(theta_d, batch_sharding(mesh))
-        obj_d = jax.device_put(obj_d, replicated_sharding(mesh))
 
     logger.info(
         "{} on {:,d} by {:,d} by {:,d} volume for {:,d} "
         "iterations.".format(algorithm, *obj.shape, num_iter)
     )
-
-    result = {"obj": obj_d}
+    result = {"obj": jnp.asarray(obj, dtype=jnp.complex64)}
     costs = []
     for i in range(num_iter):
         kwargs.update(result)
         result = getattr(solvers, algorithm)(
-            cfg, data=data_d, theta=theta_d, **kwargs
+            cfg, data=data_d, theta=theta_d, grid=grid, **kwargs
         )
         if result.get("cost") is not None:
             costs.append(float(result["cost"]))

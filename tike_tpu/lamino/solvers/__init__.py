@@ -1,5 +1,6 @@
 """Laminography solvers."""
 
+from .bucket import bucket
 from .cgrad import cgrad
 
-__all__ = ["cgrad"]
+__all__ = ["bucket", "cgrad"]

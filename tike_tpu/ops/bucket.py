@@ -1,0 +1,138 @@
+"""Bucket laminography operator: direct voxel-to-plane projection.
+
+TPU-native equivalent of `/root/reference/src/tike/operators/cupy/bucket.py`
+and its CUDA kernels (`bucket.cu:66-144`). Each voxel is sub-sampled into
+precision^3 points; each point is projected onto the tilted/rotated detector
+plane and accumulated with constant weight 1/precision^3. The adjoint gathers
+plane values back to voxels — which on TPU is a pure gather (no atomics).
+
+The voxel `grid` argument is an (G, 3) integer array of origin-centered voxel
+coordinates; splitting it along axis 0 splits the volume across processes —
+the reference's object-domain model parallelism (`bucket.py:267-274`). The
+matching `u` chunk must contain the same voxels in the same (C) order, so
+``u.ravel()[g]`` is the value of voxel ``grid[g]``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class BucketConfig:
+    """Static configuration of the Bucket laminography operator."""
+
+    n: int
+    tilt: float
+    precision: int = 1
+
+    @classmethod
+    def from_eps(cls, n: int, tilt: float, eps: float = 1.0):
+        """Pick the sub-sampling precision so 1/precision^3 <= eps."""
+        precision = 1
+        while (1 / precision**3) > eps:
+            precision += 1
+        return cls(n=n, tilt=tilt, precision=precision)
+
+
+def make_grid(n: int, size: int = 1, rank: int = 0) -> np.ndarray:
+    """Origin-centered integer voxel coordinates, split by rank.
+
+    Mirrors `Bucket._make_grid` (`bucket.py:267-274`).
+    """
+    lo, hi = -n // 2, n // 2
+    grid = np.stack(np.mgrid[lo:hi, lo:hi, lo:hi], axis=-1)
+    return np.array_split(grid, size)[rank].reshape(-1, 3).astype(np.int32)
+
+
+def _subsample_offsets(precision: int) -> np.ndarray:
+    """The precision^3 sub-voxel sample offsets (i+0.5)/precision."""
+    c = (np.arange(precision) + 0.5) / precision
+    i, j, k = np.meshgrid(c, c, c, indexing="ij")
+    return np.stack([i.ravel(), j.ravel(), k.ravel()], -1).astype(np.float32)
+
+
+def _plane_flat_indices(cfg: BucketConfig, grid, off, theta_t):
+    """Project sub-sampled voxel points onto the plane; return flat indices.
+
+    Implements forward_rotation / project_point_to_plane / reverse_rotation
+    (`bucket.cu:22-104`).
+    """
+    n = cfg.n
+    ct, st = jnp.cos(cfg.tilt), jnp.sin(cfg.tilt)
+    cq, sq = jnp.cos(theta_t), jnp.sin(theta_t)
+    # normal = forward_rotation((1, 0, 0))
+    nx, ny, nz = ct, -cq * st, -sq * st
+
+    p = grid.astype(jnp.float32) + off[None, :]  # (G, 3)
+    d = p[:, 0] * nx + p[:, 1] * ny + p[:, 2] * nz
+    px = p[:, 0] - d * nx
+    py = p[:, 1] - d * ny
+    pz = p[:, 2] - d * nz
+    # reverse rotation: in-plane (y, z) coordinates
+    y = st * px + cq * ct * py + sq * ct * pz
+    z = -sq * py + cq * pz
+    iy = (jnp.floor(y).astype(jnp.int32) + n // 2) % n
+    iz = (jnp.floor(z).astype(jnp.int32) + n // 2) % n
+    return iy * n + iz
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def bucket_fwd(cfg: BucketConfig, u, theta, grid):
+    """Forward projection: volume chunk -> (ntheta, n, n) complex data."""
+    u_flat = u.reshape(-1)
+    assert u_flat.shape[0] == grid.shape[0], (u.shape, grid.shape)
+    weight = jnp.asarray(1.0 / cfg.precision**3, dtype=u.real.dtype)
+    offsets = jnp.asarray(_subsample_offsets(cfg.precision))
+
+    def per_theta(theta_t):
+        def body(acc, off):
+            flat = _plane_flat_indices(cfg, grid, off, theta_t)
+            return acc.at[flat].add(u_flat * weight), None
+
+        acc0 = jnp.zeros(cfg.n * cfg.n, dtype=u.dtype)
+        acc, _ = jax.lax.scan(body, acc0, offsets)
+        return acc.reshape(cfg.n, cfg.n)
+
+    return jax.lax.map(per_theta, theta)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def bucket_adj(cfg: BucketConfig, data, theta, grid):
+    """Adjoint projection: data -> volume chunk (gather per voxel)."""
+    weight = jnp.asarray(1.0 / cfg.precision**3, dtype=data.real.dtype)
+    offsets = jnp.asarray(_subsample_offsets(cfg.precision))
+
+    def per_theta(carry, inputs):
+        theta_t, plane = inputs
+        plane_flat = plane.reshape(-1)
+
+        def body(acc, off):
+            flat = _plane_flat_indices(cfg, grid, off, theta_t)
+            return acc + plane_flat[flat] * weight, None
+
+        acc, _ = jax.lax.scan(body, carry, offsets)
+        return acc, None
+
+    u0 = jnp.zeros(grid.shape[0], dtype=data.dtype)
+    u, _ = jax.lax.scan(per_theta, u0, (theta, data))
+    return u
+
+
+def bucket_cost(data, fwd_data):
+    """Least-squares cost (`bucket.py:252-254`)."""
+    diff = fwd_data - data
+    return jnp.sum((diff * jnp.conj(diff)).real)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def bucket_grad(cfg: BucketConfig, data, theta, fwd_data, grid):
+    """Least-squares gradient (`bucket.py:256-265`)."""
+    out = bucket_adj(cfg, fwd_data - data, theta, grid)
+    return out / (data.shape[-3] * cfg.n**3)

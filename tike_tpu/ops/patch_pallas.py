@@ -1,0 +1,211 @@
+"""Pallas TPU kernels for the bilinear patch gather/scatter hot path.
+
+The XLA fallbacks in `ops/patch.py` express the patch operator as a batched
+gather / scatter-add; these kernels replace them with explicit HBM->VMEM DMA
+of each (P+1, P+1) object window, overlapping the DMA of the next window with
+the bilinear combine of the current one (double buffering).
+
+Complex images are processed as float32 pairs interleaved along the last axis
+(numpy's native complex64 memory layout), because Mosaic does not support
+complex dtypes: shifting by one complex pixel along x is a shift of two
+floats, so the bilinear combine uses [:, 2:] for the +x neighbor.
+
+These kernels require positions to be in-bounds (the driver-level
+`check_allowed_positions` guarantee); out-of-bounds windows are undefined.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _as_float_pairs(images: jax.Array) -> jax.Array:
+    """View (H, W) complex64 as (H, 2W) float32 (interleaved re/im)."""
+    h, w = images.shape
+    return jnp.stack([images.real, images.imag], axis=-1).reshape(h, 2 * w)
+
+
+def _from_float_pairs(images_f: jax.Array) -> jax.Array:
+    h, w2 = images_f.shape
+    pairs = images_f.reshape(h, w2 // 2, 2)
+    return jax.lax.complex(pairs[..., 0], pairs[..., 1])
+
+
+def _patch_fwd_kernel(corner_ref, frac_ref, images_ref, out_ref, win, sem):
+    """One grid step extracts one patch.
+
+    corner_ref/frac_ref: scalar-prefetch (N, 2) position parts;
+    images_ref: (H, 2W) float32 in ANY/HBM; out_ref: (1, P, 2P) VMEM block;
+    win: (P+1, 2(P+1)) VMEM scratch; sem: DMA semaphore.
+    """
+    i = pl.program_id(0)
+    iy = corner_ref[i, 0]
+    ix2 = corner_ref[i, 1] * 2
+    p = out_ref.shape[1]
+
+    copy = pltpu.make_async_copy(
+        images_ref.at[pl.ds(iy, p + 1), pl.ds(ix2, 2 * (p + 1))],
+        win,
+        sem,
+    )
+    copy.start()
+    copy.wait()
+
+    fy = frac_ref[i, 0]
+    fx = frac_ref[i, 1]
+    w00 = (1 - fy) * (1 - fx)
+    w01 = (1 - fy) * fx
+    w10 = fy * (1 - fx)
+    w11 = fy * fx
+    out_ref[0, :, :] = (
+        w00 * win[:-1, : 2 * p]
+        + w01 * win[:-1, 2 : 2 * p + 2]
+        + w10 * win[1:, : 2 * p]
+        + w11 * win[1:, 2 : 2 * p + 2]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("patch_width",))
+def patch_fwd_pallas(
+    images: jax.Array,
+    positions: jax.Array,
+    patch_width: int,
+) -> jax.Array:
+    """Pallas version of :func:`tike_tpu.ops.patch.patch_fwd`."""
+    n = positions.shape[0]
+    p = patch_width
+    h, w = images.shape
+    images_f = _as_float_pairs(images)
+
+    lo = jnp.floor(positions)
+    corner = lo.astype(jnp.int32)
+    frac = (positions - lo).astype(jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, p, 2 * p), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((p + 1, 2 * (p + 1)), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out_f = pl.pallas_call(
+        _patch_fwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, p, 2 * p), jnp.float32),
+    )(corner, frac, images_f)
+    return jax.vmap(_from_float_pairs)(out_f)
+
+
+def _patch_adj_kernel(
+    corner_ref,
+    frac_ref,
+    patches_ref,
+    images_in_ref,
+    images_ref,  # output, aliased with images_in_ref
+    win,
+    acc,
+    sem_in,
+    sem_out,
+):
+    """One grid step accumulates one bilinear-spread patch into the image.
+
+    Sequential grid => the read-modify-write of overlapping windows is safe.
+    patches_ref: (1, P, 2P) VMEM block; images_ref: (H, 2W) f32 in ANY/HBM
+    aliased as both input and output.
+    """
+    i = pl.program_id(0)
+    iy = corner_ref[i, 0]
+    ix2 = corner_ref[i, 1] * 2
+    p = patches_ref.shape[1]
+
+    load = pltpu.make_async_copy(
+        images_ref.at[pl.ds(iy, p + 1), pl.ds(ix2, 2 * (p + 1))],
+        win,
+        sem_in,
+    )
+    load.start()
+
+    fy = frac_ref[i, 0]
+    fx = frac_ref[i, 1]
+    w00 = (1 - fy) * (1 - fx)
+    w01 = (1 - fy) * fx
+    w10 = fy * (1 - fx)
+    w11 = fy * fx
+
+    patch = patches_ref[0, :, :]
+    acc[:, :] = jnp.zeros_like(acc)
+    acc[: p, : 2 * p] += w00 * patch
+    acc[: p, 2 : 2 * p + 2] += w01 * patch
+    acc[1 : p + 1, : 2 * p] += w10 * patch
+    acc[1 : p + 1, 2 : 2 * p + 2] += w11 * patch
+
+    load.wait()
+    acc[:, :] = acc[:, :] + win[:, :]
+
+    store = pltpu.make_async_copy(
+        acc,
+        images_ref.at[pl.ds(iy, p + 1), pl.ds(ix2, 2 * (p + 1))],
+        sem_out,
+    )
+    store.start()
+    store.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("images_shape",))
+def patch_adj_pallas(
+    patches: jax.Array,
+    positions: jax.Array,
+    images_shape: tuple,
+    images: jax.Array | None = None,
+) -> jax.Array:
+    """Pallas version of :func:`tike_tpu.ops.patch.patch_adj`."""
+    n, p, _ = patches.shape
+    h, w = images_shape
+    if images is None:
+        base = jnp.zeros((h, w), dtype=patches.dtype)
+    else:
+        base = images
+    base_f = _as_float_pairs(base)
+    patches_f = jax.vmap(_as_float_pairs)(patches)
+
+    lo = jnp.floor(positions)
+    corner = lo.astype(jnp.int32)
+    frac = (positions - lo).astype(jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, p, 2 * p), lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((p + 1, 2 * (p + 1)), jnp.float32),
+            pltpu.VMEM((p + 1, 2 * (p + 1)), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out_f = pl.pallas_call(
+        _patch_adj_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((h, 2 * w), jnp.float32),
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(corner, frac, patches_f, base_f)
+    return _from_float_pairs(out_f)

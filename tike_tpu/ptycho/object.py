@@ -16,6 +16,7 @@ import numpy.typing as npt
 import jax.numpy as jnp
 
 import tike_tpu.linalg
+from tike_tpu.utils.transfer import to_host
 from tike_tpu.precision import cfloating, floating, integer
 
 logger = logging.getLogger(__name__)
@@ -96,11 +97,11 @@ class ObjectOptions:
     def copy_to_host(self) -> "ObjectOptions":
         out = self._clone()
         if self.v is not None:
-            out.v = np.asarray(self.v)
+            out.v = to_host(self.v)
         if self.m is not None:
-            out.m = np.asarray(self.m)
+            out.m = to_host(self.m)
         if self.preconditioner is not None:
-            out.preconditioner = np.asarray(self.preconditioner)
+            out.preconditioner = to_host(self.preconditioner)
         return out
 
     def resample(self, factor: float, interp=None) -> "ObjectOptions":

@@ -249,7 +249,9 @@ class PositionOptions:
         return self._replace_arrays(jnp.asarray)
 
     def copy_to_host(self) -> "PositionOptions":
-        return self._replace_arrays(np.asarray)
+        from tike_tpu.utils.transfer import to_host
+
+        return self._replace_arrays(to_host)
 
     def split(self, indices) -> "PositionOptions":
         out = PositionOptions(

@@ -19,6 +19,7 @@ import numpy as np
 import numpy.typing as npt
 
 import tike_tpu.linalg as la
+from tike_tpu.utils.transfer import to_host
 from tike_tpu.precision import cfloating, floating
 from tike_tpu.utils.ndimage import (
     center_of_mass2d,
@@ -150,11 +151,11 @@ class ProbeOptions:
     def copy_to_host(self) -> "ProbeOptions":
         out = self._clone()
         if self.v is not None:
-            out.v = np.asarray(self.v)
+            out.v = to_host(self.v)
         if self.m is not None:
-            out.m = np.asarray(self.m)
+            out.m = to_host(self.m)
         if self.preconditioner is not None:
-            out.preconditioner = np.asarray(self.preconditioner)
+            out.preconditioner = to_host(self.preconditioner)
         return out
 
     def resample(self, factor: float, interp=None) -> "ProbeOptions":
@@ -197,7 +198,7 @@ def constrain_variable_probe(variable_probe, weights):
     variable_probe = variable_probe / (vnorm + 1e-32)
     probes_with_modes = variable_probe.shape[-3]
     weights = weights.at[..., 1:, :probes_with_modes].multiply(
-        np.asarray(vnorm)[..., 0, 0]
+        jnp.asarray(vnorm)[..., 0, 0]
     )
 
     # Orthogonalize across the EIGEN axis.
@@ -208,8 +209,8 @@ def constrain_variable_probe(variable_probe, weights):
         la.norm(weights[..., 1:, :probes_with_modes], axis=-3, keepdims=True)
         ** 2
     )
-    weights = np.array(weights)  # writable host copies for the sort
-    variable_probe = np.array(variable_probe)
+    weights = np.array(to_host(weights))  # writable host copies for sort
+    variable_probe = np.array(to_host(variable_probe))
     for i in range(probes_with_modes):
         order = np.argsort(-np.asarray(power)[..., i].flatten())
         weights[..., 1:, i] = weights[..., 1 + order, i]
@@ -445,8 +446,8 @@ def orthogonalize_eig(x):
         np.asarray(la.norm(result, axis=(-2, -1), keepdims=False))
     ).flatten()
     order = np.argsort(pwr, kind="stable")[::-1]
-    result = np.asarray(result)[..., order, :, :]
-    return jnp.asarray(result), pwr[order]
+    result = result[..., jnp.asarray(np.ascontiguousarray(order)), :, :]
+    return result, pwr[order]
 
 
 def power(probe):

@@ -33,6 +33,8 @@ from tike_tpu.ops.ptycho import (
 )
 from tike_tpu.precision import cfloating, floating
 
+from tike_tpu.utils.transfer import to_host
+
 from . import object as object_module
 from . import probe as probe_module
 from .position import AffineTransform, affine_position_regularization
@@ -240,10 +242,7 @@ class Reconstruction:
             and self.parameters.probe_options.init_rescale_from_measurements
         ):
             self.parameters = _rescale_probe(
-                self.operator,
-                self.data,
-                jnp.asarray(self.batches[1]),
-                self.parameters,
+                self.operator, self.data, self.batches, self.parameters
             )
         return self
 
@@ -267,7 +266,7 @@ class Reconstruction:
                 self.parameters, epoch=total_epochs
             )
             self.parameters = update_preconditioners(
-                self.operator, self.parameters
+                self.operator, self.parameters, self.batches
             )
             solver = getattr(solvers, self.parameters.algorithm_options.name)
             self.parameters = solver(
@@ -312,18 +311,18 @@ class Reconstruction:
         )
 
     def get_psi(self) -> np.ndarray:
-        return np.asarray(self.parameters.psi)
+        return to_host(self.parameters.psi)
 
     def get_probe(self):
         """Return (probe, eigen_probe, eigen_weights) as numpy arrays."""
         p = self.parameters
         reorder = np.argsort(self.order)
         return (
-            np.asarray(p.probe),
-            None if p.eigen_probe is None else np.asarray(p.eigen_probe),
+            to_host(p.probe),
+            to_host(p.eigen_probe),
             None
             if p.eigen_weights is None
-            else np.asarray(p.eigen_weights)[reorder],
+            else to_host(p.eigen_weights)[reorder],
         )
 
     def __exit__(self, type, value, traceback):
@@ -482,37 +481,44 @@ def _apply_position_constraints(
 
 
 def _rescale_probe(
-    cfg: PtychoConfig, data, batch_mask, parameters: PtychoParameters
+    cfg: PtychoConfig, data, batches, parameters: PtychoParameters
 ) -> PtychoParameters:
     """Rescale probe so modeled and measured intensity match in total energy.
 
     Equivalent of `_rescale_probe` (`ptycho/ptycho.py:873-972`). `data` is
-    batch-major (num_batch, L, DET, DET); `batch_mask` (num_batch, L) zeroes
-    padded slots so they are not double-counted.
+    batch-major (num_batch, L, DET, DET); processing is per batch slice so
+    one fixed-shape program is compiled and padded slots (mask 0) are not
+    double-counted.
     """
     import functools
 
     @functools.partial(jax.jit, static_argnames=("cfg",))
-    def sums(cfg, data, batch_mask, psi, scan, probe, measured_pixels):
+    def sums(cfg, data_b, bmask, psi, scan_b, probe, measured_pixels):
         intensity = intensity_from_farplane(
-            ptycho_fwd(cfg, psi, scan, probe[:, 0])
+            ptycho_fwd(cfg, psi, scan_b, probe[:, 0])
         )
         w = measured_pixels.astype(intensity.dtype)
-        s_data = jnp.sum(
-            jnp.sum(data * w, axis=(-2, -1)) * batch_mask
-        )
-        s_model = jnp.sum(intensity * w)
+        s_data = jnp.sum(jnp.sum(data_b * w, axis=(-2, -1)) * bmask)
+        s_model = jnp.sum(jnp.sum(intensity * w, axis=(-2, -1)) * bmask)
         return s_data, s_model
 
-    s_data, s_model = sums(
-        cfg,
-        data,
-        batch_mask,
-        parameters.psi,
-        parameters.scan,
-        parameters.probe,
-        parameters.exitwave_options.measured_pixels,
-    )
+    batch_idx, batch_mask = batches
+    s_data = 0.0
+    s_model = 0.0
+    for n in range(batch_idx.shape[0]):
+        idx = jnp.asarray(batch_idx[n])
+        scan_b = jnp.take(parameters.scan, idx, axis=0)
+        sd, sm = sums(
+            cfg,
+            data[n],
+            jnp.asarray(batch_mask[n]),
+            parameters.psi,
+            scan_b,
+            parameters.probe,
+            parameters.exitwave_options.measured_pixels,
+        )
+        s_data += sd
+        s_model += sm
     rescale = jnp.sqrt(s_data / (s_model + 1e-32)).astype(floating)
     logger.info("Probe rescaled by %f", float(rescale))
     parameters.probe = parameters.probe * rescale

@@ -25,15 +25,21 @@ from .options import PtychoParameters
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def psi_preconditioner(cfg: PtychoConfig, psi, scan, probe):
-    """Return (D, H, W) sum of |illumination|^2 at each object pixel."""
+def psi_preconditioner(cfg: PtychoConfig, psi, scan, probe, mask=None):
+    """Return (D, H, W) sum of |illumination|^2 at each object pixel.
+
+    `mask` (N,) optionally zeroes padded batch slots.
+    """
     n = scan.shape[0]
     p = cfg.probe_shape
+    w = jnp.ones(n, probe.real.dtype) if mask is None else mask
 
     probe_amp = jnp.sum(probe[0, 0] * jnp.conj(probe[0, 0]), axis=0)  # (P, P)
     slices = [
         patch_adj(
-            jnp.broadcast_to(probe_amp, (n, p, p)), scan, (cfg.nz, cfg.n)
+            probe_amp[None] * w[:, None, None].astype(probe.dtype),
+            scan,
+            (cfg.nz, cfg.n),
         )
     ]
 
@@ -44,31 +50,81 @@ def psi_preconditioner(cfg: PtychoConfig, psi, scan, probe):
             patches = patch_fwd(psi[i - 1], scan, p)
             probe1 = fresnel_fwd(patches[:, None] * probe1, prop)
             amp = jnp.sum(probe1 * jnp.conj(probe1), axis=1)  # (N, P, P)
-            slices.append(patch_adj(amp, scan, (cfg.nz, cfg.n)))
+            slices.append(
+                patch_adj(
+                    amp * w[:, None, None].astype(amp.dtype),
+                    scan,
+                    (cfg.nz, cfg.n),
+                )
+            )
 
     return jnp.stack(slices)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def probe_preconditioner(cfg: PtychoConfig, psi, scan):
+def probe_preconditioner(cfg: PtychoConfig, psi, scan, mask=None):
     """Return (D, P, P) sum of |object patches|^2 per slice."""
+    w = (
+        jnp.ones(scan.shape[0], psi.real.dtype)
+        if mask is None
+        else mask
+    )
     slices = []
     for i in range(cfg.nslices):
         patches = patch_fwd(psi[i], scan, cfg.probe_shape)
-        slices.append(jnp.sum(patches * jnp.conj(patches), axis=0))
+        slices.append(
+            jnp.sum(
+                patches
+                * jnp.conj(patches)
+                * w[:, None, None].astype(patches.dtype),
+                axis=0,
+            )
+        )
     return jnp.stack(slices)
 
 
 def update_preconditioners(
-    cfg: PtychoConfig, parameters: PtychoParameters
+    cfg: PtychoConfig,
+    parameters: PtychoParameters,
+    batches=None,
 ) -> PtychoParameters:
-    """Refresh probe and object preconditioners (`_preconditioner.py:170-209`)."""
+    """Refresh probe and object preconditioners (`_preconditioner.py:170-209`).
+
+    When `batches` (padded index matrix + mask) is given, the scan is
+    processed one batch slice at a time so every call reuses a single
+    compiled program of fixed shape (the reference streams 64-pattern
+    chunks for the same reason).
+    """
+    if batches is None:
+        if parameters.object_options:
+            parameters.object_options.preconditioner = psi_preconditioner(
+                cfg, parameters.psi, parameters.scan, parameters.probe
+            )
+        if parameters.probe_options:
+            parameters.probe_options.preconditioner = probe_preconditioner(
+                cfg, parameters.psi, parameters.scan
+            )
+        return parameters
+
+    batch_idx, batch_mask = batches
+    psi_pre = None
+    probe_pre = None
+    for n in range(batch_idx.shape[0]):
+        idx = jnp.asarray(batch_idx[n])
+        bmask = jnp.asarray(batch_mask[n])
+        scan_b = jnp.take(parameters.scan, idx, axis=0)
+        if parameters.object_options:
+            contrib = psi_preconditioner(
+                cfg, parameters.psi, scan_b, parameters.probe, bmask
+            )
+            psi_pre = contrib if psi_pre is None else psi_pre + contrib
+        if parameters.probe_options:
+            contrib = probe_preconditioner(
+                cfg, parameters.psi, scan_b, bmask
+            )
+            probe_pre = contrib if probe_pre is None else probe_pre + contrib
     if parameters.object_options:
-        parameters.object_options.preconditioner = psi_preconditioner(
-            cfg, parameters.psi, parameters.scan, parameters.probe
-        )
+        parameters.object_options.preconditioner = psi_pre
     if parameters.probe_options:
-        parameters.probe_options.preconditioner = probe_preconditioner(
-            cfg, parameters.psi, parameters.scan
-        )
+        parameters.probe_options.preconditioner = probe_pre
     return parameters

@@ -21,6 +21,7 @@ import numpy as np
 import numpy.typing as npt
 
 from tike_tpu.precision import cfloating, floating
+from tike_tpu.utils.transfer import to_host
 from ..exitwave import ExitWaveOptions
 from ..object import ObjectOptions
 from ..position import PositionOptions, check_allowed_positions
@@ -123,9 +124,9 @@ class PtychoParameters:
     """Settings related to position correction."""
 
     def __post_init__(self):
-        self.probe = np.asarray(self.probe) if isinstance(
-            self.probe, np.ndarray) else self.probe
-        scan = np.asarray(self.scan)
+        # Validate via shapes only -- materializing device arrays here would
+        # force device-to-host transfers on every construction.
+        scan = self.scan
         if scan.ndim != 2 or scan.shape[1] != 2 or np.any(
             np.asarray(scan.shape) < 1
         ):
@@ -133,7 +134,7 @@ class PtychoParameters:
                 f"scan shape {scan.shape} is incorrect. It should be (N, 2) "
                 "where N >= 1 is the number of scan positions."
             )
-        probe = np.asarray(self.probe)
+        probe = self.probe
         if (
             probe.ndim != 5
             or probe.shape[:2] != (1, 1)
@@ -146,7 +147,7 @@ class PtychoParameters:
                 "where S >=1 is the number of probes, and "
                 "W, H >= 1 are the square probe grid dimensions."
             )
-        psi = np.asarray(self.psi)
+        psi = self.psi
         if psi.ndim != 3 or np.any(
             np.asarray(psi.shape[-2:]) <= np.asarray(probe.shape[-2:])
         ):
@@ -154,7 +155,7 @@ class PtychoParameters:
                 f"psi shape {psi.shape} is incorrect. "
                 "It should be (D, W, H) where W, H > probe.shape[-2:]."
             )
-        check_allowed_positions(scan, psi, probe.shape)
+        check_allowed_positions(np.asarray(scan), psi, probe.shape)
         if self.exitwave_options is None:
             self.exitwave_options = ExitWaveOptions(
                 measured_pixels=np.ones(probe.shape[-2:], dtype=np.bool_)
@@ -168,10 +169,10 @@ class PtychoParameters:
         """Return a new PtychoParameters rescaled by ``factor``."""
         interp = _resize_fft if interp is None else interp
         return PtychoParameters(
-            probe=interp(np.asarray(self.probe), factor).astype(cfloating),
-            psi=_resize_spline(np.asarray(self.psi), factor).astype(cfloating),
-            scan=np.asarray(self.scan) * factor,
-            eigen_probe=interp(np.asarray(self.eigen_probe), factor).astype(
+            probe=interp(to_host(self.probe), factor).astype(cfloating),
+            psi=_resize_spline(to_host(self.psi), factor).astype(cfloating),
+            scan=to_host(self.scan) * factor,
+            eigen_probe=interp(to_host(self.eigen_probe), factor).astype(
                 cfloating
             )
             if self.eigen_probe is not None
@@ -228,15 +229,11 @@ class PtychoParameters:
 
     def copy_to_host(self) -> "PtychoParameters":
         return PtychoParameters(
-            probe=np.asarray(self.probe),
-            psi=np.asarray(self.psi),
-            scan=np.asarray(self.scan),
-            eigen_probe=np.asarray(self.eigen_probe)
-            if self.eigen_probe is not None
-            else None,
-            eigen_weights=np.asarray(self.eigen_weights)
-            if self.eigen_weights is not None
-            else None,
+            probe=to_host(self.probe),
+            psi=to_host(self.psi),
+            scan=to_host(self.scan),
+            eigen_probe=to_host(self.eigen_probe),
+            eigen_weights=to_host(self.eigen_weights),
             algorithm_options=self.algorithm_options,
             exitwave_options=self.exitwave_options.copy_to_host()
             if self.exitwave_options is not None
@@ -256,13 +253,13 @@ class PtychoParameters:
     def split(indices, *, x: "PtychoParameters") -> "PtychoParameters":
         """Return a new PtychoParameters with only the data from indices."""
         return PtychoParameters(
-            probe=np.asarray(x.probe).astype(cfloating),
-            psi=np.asarray(x.psi).astype(cfloating),
-            scan=np.asarray(x.scan)[indices].astype(floating),
-            eigen_probe=np.asarray(x.eigen_probe).astype(cfloating)
+            probe=to_host(x.probe).astype(cfloating),
+            psi=to_host(x.psi).astype(cfloating),
+            scan=to_host(x.scan)[indices].astype(floating),
+            eigen_probe=to_host(x.eigen_probe).astype(cfloating)
             if x.eigen_probe is not None
             else None,
-            eigen_weights=np.asarray(x.eigen_weights)[indices].astype(floating)
+            eigen_weights=to_host(x.eigen_weights)[indices].astype(floating)
             if x.eigen_weights is not None
             else None,
             algorithm_options=copy.deepcopy(x.algorithm_options),
@@ -284,7 +281,7 @@ class PtychoParameters:
 
         def join_psi(parts):
             joined = np.array(parts[0], copy=True)
-            w = np.asarray(x[0].probe).shape[-2] // 2
+            w = x[0].probe.shape[-2] // 2
             for i in range(1, len(parts)):
                 lo = stripe_start[i] + w
                 hi = (
@@ -296,16 +293,16 @@ class PtychoParameters:
             return joined
 
         return PtychoParameters(
-            probe=np.asarray(x[0].probe),
-            psi=join_psi([np.asarray(e.psi) for e in x]),
-            scan=np.concatenate([np.asarray(e.scan) for e in x], axis=0)[
+            probe=to_host(x[0].probe),
+            psi=join_psi([to_host(e.psi) for e in x]),
+            scan=np.concatenate([to_host(e.scan) for e in x], axis=0)[
                 reorder
             ],
-            eigen_probe=np.asarray(x[0].eigen_probe)
+            eigen_probe=to_host(x[0].eigen_probe)
             if x[0].eigen_probe is not None
             else None,
             eigen_weights=np.concatenate(
-                [np.asarray(e.eigen_weights) for e in x], axis=0
+                [to_host(e.eigen_weights) for e in x], axis=0
             )[reorder]
             if x[0].eigen_weights is not None
             else None,
