@@ -93,3 +93,19 @@ def test_accumulation_into_existing_image():
     np.testing.assert_allclose(
         np.asarray(out), base + np.asarray(zero), rtol=1e-5, atol=1e-5
     )
+
+
+def test_fourier_patch_adjoint_and_integer_agreement():
+    from tike_tpu.ops.patch import patch_fwd_fourier, patch_adj_fourier
+
+    images, positions, patches = _setup()
+    f = patch_fwd_fourier(jnp.asarray(images), jnp.asarray(positions), P)
+    a = patch_adj_fourier(jnp.asarray(patches), jnp.asarray(positions), (H, W))
+    check_adjoint(f, images, a, patches, rtol=1e-3)
+    # At integer positions, Fourier and bilinear paths agree exactly.
+    ipos = np.floor(positions).astype(np.float32)
+    f_int = patch_fwd_fourier(jnp.asarray(images), jnp.asarray(ipos), P)
+    b_int = patch_fwd(jnp.asarray(images), jnp.asarray(ipos), P)
+    np.testing.assert_allclose(
+        np.asarray(f_int), np.asarray(b_int), rtol=1e-4, atol=1e-5
+    )

@@ -82,3 +82,47 @@ def test_sharding_specs():
     assert shard_shape == (4, 2, 8, 8)
     y = jax.device_put(np.zeros((8, 8), np.float32), rs)
     assert y.sharding.is_fully_replicated
+
+
+def test_swap_edges_halo_blend():
+    """Halo blend matches a single-host computation of the same cross-fade.
+
+    Equivalent check to the reference's `test_swap_edges`
+    (`tests/communicators/test_pool.py:143`).
+    """
+    from tike_tpu.parallel.halo import swap_edges, _blend_ramp
+
+    mesh = make_mesh()
+    ndev = mesh.size
+    overlap = 3
+    rows_per = 8
+    H = rows_per * ndev
+    rng = np.random.default_rng(0)
+    psi = (
+        rng.standard_normal((1, H, 16)) + 1j * rng.standard_normal((1, H, 16))
+    ).astype(np.complex64)
+
+    sharded = jax.device_put(
+        psi, batch_sharding(mesh, axis=1)
+    )
+    out = np.asarray(swap_edges(sharded, mesh, overlap))
+
+    # Host reference: for each internal seam, device i's bottom rows are
+    # blended into device i+1's top rows and vice versa.
+    want = psi.copy()
+    ramp = np.asarray(_blend_ramp(overlap))[None, :, None]
+    for i in range(ndev):
+        lo = i * rows_per
+        if i > 0:
+            above_bot = psi[:, lo - overlap : lo, :]
+            mine_top = psi[:, lo : lo + overlap, :]
+            want[:, lo : lo + overlap, :] = (
+                (1 - ramp) * above_bot + ramp * mine_top
+            )
+        if i < ndev - 1:
+            below_top = psi[:, lo + rows_per : lo + rows_per + overlap, :]
+            mine_bot = psi[:, lo + rows_per - overlap : lo + rows_per, :]
+            want[:, lo + rows_per - overlap : lo + rows_per, :] = (
+                (1 - ramp[:, ::-1]) * below_top + ramp[:, ::-1] * mine_bot
+            )
+    np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)

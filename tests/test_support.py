@@ -1,0 +1,174 @@
+"""Tests for support modules: linalg, opt, cluster, scan, trajectory, random.
+
+Mirrors the reference's `test_linalg.py`, `test_opt.py`, `test_random.py`,
+`test_trajectory.py` coverage.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+import tike_tpu.cluster
+import tike_tpu.linalg as la
+import tike_tpu.opt
+import tike_tpu.random
+import tike_tpu.scan
+import tike_tpu.trajectory
+
+
+class TestLinalg:
+    def test_norm_inner_consistency(self):
+        rng = np.random.default_rng(0)
+        x = (rng.standard_normal(64) + 1j * rng.standard_normal(64)).astype(
+            np.complex64
+        )
+        n2 = float(la.norm(jnp.asarray(x))) ** 2
+        ip = complex(la.inner(jnp.asarray(x), jnp.asarray(x)))
+        np.testing.assert_allclose(n2, ip.real, rtol=1e-5)
+        assert abs(ip.imag) < 1e-3
+
+    def test_lstsq_solves_small_system(self):
+        rng = np.random.default_rng(1)
+        a = rng.standard_normal((5, 8, 3)).astype(np.float32)
+        x_true = rng.standard_normal((5, 3, 2)).astype(np.float32)
+        b = a @ x_true
+        x = la.lstsq(jnp.asarray(a), jnp.asarray(b))
+        np.testing.assert_allclose(np.asarray(x), x_true, rtol=1e-3, atol=1e-4)
+
+    def test_orthogonalize_gs(self):
+        rng = np.random.default_rng(2)
+        x = (
+            rng.standard_normal((4, 16)) + 1j * rng.standard_normal((4, 16))
+        ).astype(np.complex64)
+        u = np.asarray(la.orthogonalize_gs(jnp.asarray(x), axis=-1))
+        gram = np.conj(u) @ u.T
+        off = gram - np.diag(np.diag(gram))
+        assert np.abs(off).max() < 1e-3
+
+    def test_projection(self):
+        a = jnp.asarray(np.array([1.0, 2.0, 3.0], np.float32))
+        b = jnp.asarray(np.array([1.0, 0.0, 0.0], np.float32))
+        p = np.asarray(la.projection(a, b))
+        np.testing.assert_allclose(p, [1.0, 0, 0], atol=1e-6)
+
+
+class TestOpt:
+    def test_adam_direction_descends_quadratic(self):
+        x = jnp.asarray(np.array([5.0, -3.0], np.float32))
+        v = m = None
+        for _ in range(200):
+            g = 2 * x
+            d, v, m = tike_tpu.opt.adam(g, v, m)
+            x = x - 0.1 * d
+        assert float(jnp.abs(x).max()) < 0.5
+
+    def test_conjugate_gradient_quadratic(self):
+        A = np.array([[3.0, 1.0], [1.0, 2.0]], np.float32)
+        b = np.array([1.0, 1.0], np.float32)
+
+        def cost(x):
+            return float(0.5 * x @ A @ x - b @ x)
+
+        def grad(x):
+            return jnp.asarray(A) @ x - jnp.asarray(b)
+
+        x0 = jnp.zeros(2, jnp.float32)
+        x, c = tike_tpu.opt.conjugate_gradient(
+            None, x=x0, cost_function=cost, grad=grad, num_iter=8
+        )
+        want = np.linalg.solve(A, b)
+        np.testing.assert_allclose(np.asarray(x), want, atol=1e-2)
+
+    def test_fit_line(self):
+        slope, intercept = tike_tpu.opt.fit_line_least_squares(
+            y=[1.0, 3.0, 5.0], x=[0.0, 1.0, 2.0]
+        )
+        np.testing.assert_allclose([slope, intercept], [2.0, 1.0], atol=1e-6)
+
+    def test_is_converged_window(self):
+        class Opts:
+            convergence_window = 4
+            costs = [[5.0], [4.0], [4.1], [4.2]]
+
+        assert tike_tpu.opt.is_converged(Opts()) in (True, False)
+
+
+class TestCluster:
+    def test_wobbly_center_partitions(self):
+        rng = np.random.default_rng(0)
+        pop = rng.random((100, 2))
+        clusters = tike_tpu.cluster.wobbly_center(pop, 7)
+        allidx = np.sort(np.concatenate(clusters))
+        np.testing.assert_array_equal(allidx, np.arange(100))
+
+    def test_compact_equal_sizes(self):
+        rng = np.random.default_rng(1)
+        pop = rng.random((101, 2))
+        clusters = tike_tpu.cluster.compact(pop, 4, rng=rng)
+        sizes = sorted(len(c) for c in clusters)
+        assert sizes in ([25, 25, 25, 26], [25, 25, 26, 25])
+        allidx = np.sort(np.concatenate(clusters))
+        np.testing.assert_array_equal(allidx, np.arange(101))
+
+    def test_stripes_contiguous(self):
+        rng = np.random.default_rng(2)
+        scan = rng.random((60, 2)).astype(np.float32) * 100
+        order, batches, starts = (
+            tike_tpu.cluster.by_scan_stripes_contiguous(
+                scan, num_stripes=2, batch_method="wobbly_center", num_batch=3
+            )
+        )
+        assert len(order) == 2 and len(batches) == 2
+        # Each stripe's batches partition its local indices.
+        for o, bs in zip(order, batches):
+            local = np.sort(np.concatenate(bs))
+            np.testing.assert_array_equal(local, np.arange(len(o)))
+
+    def test_batches_padded(self):
+        batches = [np.array([0, 1, 2]), np.array([3, 4])]
+        idx, mask = tike_tpu.cluster.batches_padded(batches, multiple_of=4)
+        assert idx.shape == (2, 4)
+        np.testing.assert_array_equal(mask, [[1, 1, 1, 0], [1, 1, 0, 0]])
+
+
+class TestScanTrajectory:
+    def test_raster_is_bounded(self):
+        t = tike_tpu.scan.scantimes(0, 2, f=30)
+        x, y = tike_tpu.scan.raster(5, 1, 2, 0, 0, t)
+        assert x.min() >= 0 and x.max() <= 5
+
+    def test_lissajous_amplitude(self):
+        t = tike_tpu.scan.scantimes(0, 1, f=1000)
+        x, y = tike_tpu.scan.lissajous(2, 3, 5, 3, 0, 0.5, t)
+        assert abs(x).max() <= 2 + 1e-6 and abs(y).max() <= 3 + 1e-6
+
+    def test_discrete_trajectory_steps_bounded(self):
+        def traj(t):
+            return t, np.sin(t), np.cos(t)
+
+        theta, v, h, dwell, times = (
+            tike_tpu.trajectory.discrete_trajectory(
+                traj, 0, 1, xstep=0.1, tstep=0.1
+            )
+        )
+        d = tike_tpu.trajectory.euclidian_dist_approx(theta, v, h)
+        assert np.all(d <= 0.1 + 1e-6)
+
+    def test_coded_exposure_bins(self):
+        time = np.arange(11).astype(float)
+        dwell = np.full(11, 0.5)
+        theta, v, h = time * 0.1, time * 0.2, time * 0.3
+        c_time = np.array([2.0, 8.0])
+        c_dwell = np.array([1.5, 2.5])
+        th1, v1, h1, t1, d1, bundles = tike_tpu.trajectory.coded_exposure(
+            theta, v, h, time, dwell, c_time, c_dwell
+        )
+        assert len(bundles) <= 2
+        assert np.all(t1 >= 2.0)
+
+
+class TestRandom:
+    def test_numpy_complex_range(self):
+        x = tike_tpu.random.numpy_complex(100)
+        assert x.dtype == np.complex64
+        assert np.abs(x.real).max() <= 0.5
+        assert np.abs(x.imag).max() <= 0.5

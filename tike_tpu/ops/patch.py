@@ -144,3 +144,38 @@ def patch_fwd_padded(
         ((0, 0), (pad, padded_width - patch_width - pad),
          (pad, padded_width - patch_width - pad)),
     )
+
+
+def patch_fwd_fourier(
+    images: jax.Array,
+    positions: jax.Array,
+    patch_width: int,
+) -> jax.Array:
+    """Patch extraction with Fourier-shift sub-pixel interpolation.
+
+    Equivalent of the reference's ConvolutionFFT path
+    (`convolution.py:156-292`): extract at the integer corner, then apply the
+    fractional part as a Fourier phase-ramp shift of each patch. Band-limited
+    (sinc) interpolation instead of bilinear.
+    """
+    from .shift import shift_adj
+
+    lo = jnp.floor(positions)
+    frac = positions - lo
+    patches = patch_fwd(images, lo, patch_width)
+    return shift_adj(patches, frac)
+
+
+def patch_adj_fourier(
+    patches: jax.Array,
+    positions: jax.Array,
+    images_shape: tuple,
+    images: jax.Array | None = None,
+) -> jax.Array:
+    """Adjoint of :func:`patch_fwd_fourier`."""
+    from .shift import shift_fwd
+
+    lo = jnp.floor(positions)
+    frac = positions - lo
+    shifted = shift_fwd(patches, frac)
+    return patch_adj(shifted, lo, images_shape, images)
