@@ -84,24 +84,16 @@ def _spread_windows(patches: jax.Array, frac: jax.Array) -> jax.Array:
     return win
 
 
-def patch_adj(
+def patch_adj_scatter(
     patches: jax.Array,
     positions: jax.Array,
     images_shape: tuple[int, int],
     images: jax.Array | None = None,
 ) -> jax.Array:
-    """Adjoint of :func:`patch_fwd`: scatter-add patches into an image.
+    """patch_adj via one big XLA scatter-add (reference oracle formulation).
 
-    Parameters
-    ----------
-    patches : (N, P, P) complex
-    positions : (N, 2) float
-    images_shape : (H, W) — static output shape
-    images : optional (H, W) initial accumulator
-
-    Returns
-    -------
-    images : (H, W) complex
+    TPU scatters with colliding indices serialize per element, so this is
+    the slow path there; see :func:`patch_adj` for the production version.
     """
     h, w = images_shape
     n, p, _ = patches.shape
@@ -121,6 +113,49 @@ def patch_adj(
         win.reshape(-1), mode="drop", unique_indices=False
     )
     return acc.reshape(h, w)
+
+
+def patch_adj(
+    patches: jax.Array,
+    positions: jax.Array,
+    images_shape: tuple[int, int],
+    images: jax.Array | None = None,
+) -> jax.Array:
+    """Adjoint of :func:`patch_fwd`: accumulate patches into an image.
+
+    Implemented as a `lax.scan` of per-position window read-modify-writes
+    (dynamic_slice + add + dynamic_update_slice): N sequential steps of
+    (P+1)^2 *vector* adds, instead of one scatter whose colliding indices
+    TPUs serialize per *element*. Overlapping windows are handled exactly
+    because the accumulation is sequential.
+
+    Parameters
+    ----------
+    patches : (N, P, P) complex
+    positions : (N, 2) float
+    images_shape : (H, W) — static output shape
+    images : optional (H, W) initial accumulator
+    """
+    h, w = images_shape
+    n, p, _ = patches.shape
+    corner, frac = _split_positions(positions)
+    win = _spread_windows(patches, frac)  # (N, P+1, P+1)
+
+    if images is None:
+        acc0 = jnp.zeros((h, w), dtype=patches.dtype)
+    else:
+        acc0 = images
+
+    def body(acc, inp):
+        window, c = inp
+        cur = jax.lax.dynamic_slice(acc, (c[0], c[1]), (p + 1, p + 1))
+        return (
+            jax.lax.dynamic_update_slice(acc, cur + window, (c[0], c[1])),
+            None,
+        )
+
+    acc, _ = jax.lax.scan(body, acc0, (win, corner))
+    return acc
 
 
 @functools.partial(jax.jit, static_argnames=("patch_width", "padded_width"))

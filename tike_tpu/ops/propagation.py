@@ -67,3 +67,36 @@ def fresnel_adj(farplane: jax.Array, propagator: jax.Array) -> jax.Array:
     """Adjoint Fresnel propagation: IFFT(conj(H) * FFT(x))."""
     f = jnp.fft.fft2(farplane, axes=(-2, -1), norm="ortho")
     return jnp.fft.ifft2(f * jnp.conj(propagator), axes=(-2, -1), norm="ortho")
+
+
+@functools.lru_cache(maxsize=16)
+def _dft_matrix(n: int, inverse: bool = False):
+    """Cached ortho-normalized DFT matrix F with F @ x = fft(x, norm='ortho')."""
+    import numpy as np
+
+    k = np.arange(n)
+    sign = 2j if inverse else -2j
+    f = np.exp(sign * np.pi * np.outer(k, k) / n) / np.sqrt(n)
+    return jnp.asarray(f.astype(np.complex64))
+
+
+def matmul_fft2(x: jax.Array, inverse: bool = False) -> jax.Array:
+    """Ortho 2D FFT of the last two axes computed as two MXU matmuls.
+
+    On TPU, small fixed-size FFTs (e.g. 128^2 detectors) run faster as dense
+    DFT-matrix products on the systolic array than through the generic FFT
+    lowering: fft2(x) = F @ x @ F^T with F the (ortho) DFT matrix. Accuracy
+    is float32-matmul-limited (~1e-5 relative for n <= 256).
+    """
+    fr = _dft_matrix(x.shape[-2], inverse)
+    fc = _dft_matrix(x.shape[-1], inverse)
+    y = jnp.einsum("km,...mn->...kn", fr, x)
+    return jnp.einsum("...kn,ln->...kl", y, fc)
+
+
+def propagation_fwd_matmul(nearplane: jax.Array) -> jax.Array:
+    return matmul_fft2(nearplane, inverse=False)
+
+
+def propagation_adj_matmul(farplane: jax.Array) -> jax.Array:
+    return matmul_fft2(farplane, inverse=True)

@@ -292,7 +292,7 @@ class Reconstruction:
 
     def get_scan(self) -> np.ndarray:
         reorder = np.argsort(self.order)
-        return np.asarray(self.parameters.scan)[reorder]
+        return to_host(self.parameters.scan)[reorder]
 
     def get_result(self) -> PtychoParameters:
         """Return the current parameter estimates (host copies)."""
@@ -402,7 +402,7 @@ def _apply_probe_constraints(
                 probe, power = probe_module.orthogonalize_eig(probe)
             else:
                 power = probe_module.power(probe)
-            popts.power.append(np.asarray(power))
+            popts.power.append(to_host(jnp.asarray(power)) if hasattr(power, "devices") else np.asarray(power))
             parameters.probe = probe
 
         if (
@@ -520,10 +520,12 @@ def _rescale_probe(
         s_data += sd
         s_model += sm
     rescale = jnp.sqrt(s_data / (s_model + 1e-32)).astype(floating)
-    logger.info("Probe rescaled by %f", float(rescale))
+    from tike_tpu.utils.transfer import scalar as _scalar
+
+    logger.info("Probe rescaled by %f", _scalar(rescale))
     parameters.probe = parameters.probe * rescale
     if np.isnan(parameters.probe_options.probe_photons):
-        parameters.probe_options.probe_photons = float(
+        parameters.probe_options.probe_photons = _scalar(
             jnp.sum(jnp.square(jnp.abs(parameters.probe)))
         )
     return parameters

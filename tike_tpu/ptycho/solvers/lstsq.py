@@ -22,6 +22,7 @@ import numpy as np
 
 import tike_tpu.linalg as la
 import tike_tpu.opt
+import tike_tpu.utils.transfer
 from tike_tpu.ops.objective import ELEMENTWISE, GRAD
 from tike_tpu.ops.patch import patch_adj, patch_fwd
 from tike_tpu.ops.propagation import propagation_adj, propagation_fwd
@@ -420,7 +421,7 @@ def lstsq_grad(
             recover_positions=position_options is not None,
         )
         nvalid = batch_mask[n].sum()
-        batch_cost[n] = float(
+        batch_cost[n] = tike_tpu.utils.transfer.scalar(
             jnp.sum(out["costs"] * bmask) / max(nvalid, 1)
         )
 
@@ -480,7 +481,9 @@ def lstsq_grad(
         object_update_precond = _precondition_object_update(
             object_combined_update, object_options.preconditioner
         )
-        bobj = float(jnp.mean(jnp.stack([jnp.asarray(b) for b in beta_object])))
+        bobj = tike_tpu.utils.transfer.scalar(
+            jnp.mean(jnp.stack([jnp.asarray(b) for b in beta_object]))
+        )
         dpsi = bobj * object_update_precond
         psi = psi + dpsi
         if object_options.use_adaptive_moment:
@@ -502,7 +505,9 @@ def lstsq_grad(
             psi = psi + weight * dpsi
 
     if recover_probe and probe_options.use_adaptive_moment:
-        bprb = float(jnp.mean(jnp.stack(beta_probe)))
+        bprb = tike_tpu.utils.transfer.scalar(
+            jnp.mean(jnp.stack(beta_probe))
+        )
         dprobe = probe_combined_update
         mode = 0
         (

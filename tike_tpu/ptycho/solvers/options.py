@@ -155,7 +155,11 @@ class PtychoParameters:
                 f"psi shape {psi.shape} is incorrect. "
                 "It should be (D, W, H) where W, H > probe.shape[-2:]."
             )
-        check_allowed_positions(np.asarray(scan), psi, probe.shape)
+        # Value validation only for host arrays: device arrays were already
+        # validated before upload, and downloading them here would force a
+        # device-to-host transfer on every construction.
+        if isinstance(scan, np.ndarray):
+            check_allowed_positions(scan, psi, probe.shape)
         if self.exitwave_options is None:
             self.exitwave_options = ExitWaveOptions(
                 measured_pixels=np.ones(probe.shape[-2:], dtype=np.bool_)

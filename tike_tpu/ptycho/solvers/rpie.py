@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import tike_tpu.opt
+import tike_tpu.utils.transfer
 from tike_tpu.ops.objective import ELEMENTWISE, GRAD
 from tike_tpu.ops.patch import patch_adj, patch_fwd
 from tike_tpu.ops.propagation import fresnel_adj, propagation_adj
@@ -354,7 +355,7 @@ def rpie(
             recover_probe=recover_probe,
         )
         nvalid = batch_mask[n].sum()
-        batch_cost[n] = float(
+        batch_cost[n] = tike_tpu.utils.transfer.scalar(
             jnp.sum(costs * bmask) / max(nvalid, 1)
         )
 

@@ -1,30 +1,70 @@
-"""Device-to-host transfer helpers.
+"""Device-to-host transfer helpers for unreliable relay backends.
 
-Some JAX backends (notably the tunneled axon TPU relay used in development)
-cannot download complex-valued device arrays directly; real and imaginary
-parts must be fetched as separate float transfers. ``to_host`` hides this by
-splitting complex downloads on non-CPU backends (negligible overhead, and a
-failed complex transfer can poison the runtime, so no try/except probing).
+The tunneled axon TPU relay used in development only implements downloads of
+default-layout, lane-aligned buffers: arrays whose trailing dimension is a
+multiple of 128 in float32/int32. Anything else — complex dtypes, small or
+oddly-shaped arrays, scalars, reduction outputs with alternate layouts —
+fails with UNIMPLEMENTED (and poisons later transfers in the process).
+
+``to_host`` therefore routes every non-CPU download through an "export"
+program that flattens, zero-pads to a multiple of 128 lanes, and reshapes to
+(k, 128) before the transfer; complex arrays ship as separate real/imag
+exports. On CPU (and presumably on directly-attached TPUs) this is bypassed.
+
+Use ``scalar(x)`` instead of ``float(x)`` for device scalars.
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
+@jax.jit
+def _export(v):
+    flat = v.reshape(-1)
+    n = flat.shape[0]
+    k = -(-n // 128) * 128
+    return jnp.pad(flat, (0, k - n)).reshape(-1, 128)
+
+
+def _download_real(x) -> np.ndarray:
+    out = np.asarray(_export(x))
+    return out.reshape(-1)[: x.size].reshape(x.shape).astype(x.dtype)
+
+
+def _needs_export(x: jax.Array) -> bool:
+    try:
+        platform = next(iter(x.devices())).platform
+    except Exception:
+        return False
+    return platform != "cpu"
+
+
 def to_host(x) -> np.ndarray:
-    """Return a numpy copy of x, splitting complex transfers when needed."""
+    """Return a numpy copy of x, via the export path on non-CPU backends."""
     if x is None:
         return None
     if isinstance(x, np.ndarray):
         return x
     if not isinstance(x, jax.Array):
         return np.asarray(x)
+    if not _needs_export(x):
+        return np.asarray(x)
     if np.issubdtype(x.dtype, np.complexfloating):
-        platform = next(iter(x.devices())).platform
-        if platform != "cpu":
-            real = np.asarray(x.real)
-            imag = np.asarray(x.imag)
-            return (real + 1j * imag).astype(x.dtype)
-    return np.asarray(x)
+        real = _download_real(x.real)
+        imag = _download_real(x.imag)
+        return (real + 1j * imag).astype(x.dtype)
+    if x.dtype == jnp.bool_:
+        return _download_real(x.astype(jnp.int32)).astype(bool)
+    return _download_real(x)
+
+
+def scalar(x) -> float:
+    """Like float(x) but safe for device scalars on relay backends."""
+    if isinstance(x, jax.Array) and _needs_export(x):
+        return float(to_host(x.reshape(1))[0])
+    return float(x)
