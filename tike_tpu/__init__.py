@@ -9,10 +9,12 @@ communicator stack.
 
 __version__ = "0.1.0"
 
+from . import checkpoint
 from . import cluster
 from . import constants
 from . import linalg
 from . import opt
+from . import parallel
 from . import precision
 from . import random
 from . import scan

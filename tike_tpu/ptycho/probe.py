@@ -212,7 +212,7 @@ def constrain_variable_probe(variable_probe, weights):
     weights = np.array(to_host(weights))  # writable host copies for sort
     variable_probe = np.array(to_host(variable_probe))
     for i in range(probes_with_modes):
-        order = np.argsort(-np.asarray(power)[..., i].flatten())
+        order = np.argsort(-to_host(power)[..., i].flatten())
         weights[..., 1:, i] = weights[..., 1 + order, i]
         variable_probe[..., :, i, :, :] = variable_probe[..., order, i, :, :]
 
@@ -443,7 +443,7 @@ def orthogonalize_eig(x):
     _, vectors = jnp.linalg.eigh(A)
     result = (jnp.swapaxes(vectors, -1, -2) @ flat).reshape(x.shape)
     pwr = np.square(
-        np.asarray(la.norm(result, axis=(-2, -1), keepdims=False))
+        to_host(la.norm(result, axis=(-2, -1), keepdims=False))
     ).flatten()
     order = np.argsort(pwr, kind="stable")[::-1]
     result = result[..., jnp.asarray(np.ascontiguousarray(order)), :, :]
@@ -453,7 +453,7 @@ def orthogonalize_eig(x):
 def power(probe):
     """Return the power of each probe mode (`probe.py:773-781`)."""
     return np.square(
-        np.asarray(la.norm(probe, axis=(-2, -1), keepdims=False))
+        to_host(la.norm(probe, axis=(-2, -1), keepdims=False))
     ).flatten()
 
 

@@ -129,6 +129,7 @@ class Reconstruction:
         num_gpu: typing.Union[int, typing.Tuple[int, ...]] = 1,
         use_mpi: bool = False,
         mesh=None,
+        store_data_on_device: typing.Optional[bool] = None,
     ):
         if (
             np.any(np.asarray(data.shape) < 1)
@@ -166,6 +167,11 @@ class Reconstruction:
         self.data_host = data
         self.parameters_host = copy.deepcopy(parameters)
         self.mesh = mesh
+        if store_data_on_device is None:
+            # Stream from host when the dataset is a large fraction of HBM
+            # (v5e/v5p chips have 16-96 GB); 4 GB is a conservative cut.
+            store_data_on_device = data.nbytes < 4 * 2**30
+        self.store_data_on_device = store_data_on_device
         self.operator = PtychoConfig(
             probe_shape=parameters.probe.shape[-1],
             detector_shape=data.shape[-1],
@@ -230,12 +236,18 @@ class Reconstruction:
         # Store data batch-major (num_batch, L, DET, DET) so per-batch slices
         # never cross device-shard boundaries (the L axis is sharded).
         batch_idx, _ = self.batches
-        dat = jnp.asarray(
-            np.ascontiguousarray(data[self.order][batch_idx]), dtype=floating
+        dat_np = np.ascontiguousarray(
+            data[self.order][batch_idx].astype(floating)
         )
-        if self.mesh is not None:
-            dat = jax.device_put(dat, data_sharding)
-        self.data = dat
+        if self.store_data_on_device:
+            dat = jnp.asarray(dat_np)
+            if self.mesh is not None:
+                dat = jax.device_put(dat, data_sharding)
+            self.data = dat
+        else:
+            # Host-resident streaming mode: solvers double-buffer the
+            # per-batch uploads (the reference's pinned-memory role).
+            self.data = dat_np
 
         if (
             self.parameters.probe_options is not None
@@ -522,11 +534,15 @@ def _rescale_probe(
     rescale = jnp.sqrt(s_data / (s_model + 1e-32)).astype(floating)
     from tike_tpu.utils.transfer import scalar as _scalar
 
-    logger.info("Probe rescaled by %f", _scalar(rescale))
+    if logger.isEnabledFor(logging.INFO):
+        logger.info(
+            "Probe rescaled by %f", _scalar(rescale, default=float("nan"))
+        )
     parameters.probe = parameters.probe * rescale
     if np.isnan(parameters.probe_options.probe_photons):
         parameters.probe_options.probe_photons = _scalar(
-            jnp.sum(jnp.square(jnp.abs(parameters.probe)))
+            jnp.sum(jnp.square(jnp.abs(parameters.probe))),
+            default=float("nan"),
         )
     return parameters
 

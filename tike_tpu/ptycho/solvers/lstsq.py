@@ -392,10 +392,22 @@ def lstsq_grad(
     beta_object: typing.List[float] = []
     beta_probe: typing.List[jax.Array] = []
 
-    for n in order:
+    # Double-buffered host-to-device prefetch when data is host-resident
+    # (the >HBM streaming mode; see rpie.py for details).
+    host_data = isinstance(data, np.ndarray)
+    if host_data:
+        next_dev = jax.device_put(data[order[0]])
+    for k, n in enumerate(order):
         idx = jnp.asarray(batch_idx[n])
         bmask = jnp.asarray(batch_mask[n])
-        data_b = data[n] if data.ndim == 4 else jnp.take(data, idx, axis=0)
+        if host_data:
+            data_b = next_dev
+            if k + 1 < len(order):
+                next_dev = jax.device_put(data[order[k + 1]])
+        else:
+            data_b = (
+                data[n] if data.ndim == 4 else jnp.take(data, idx, axis=0)
+            )
         out = _lstsq_batch(
             op,
             data_b,
@@ -422,7 +434,8 @@ def lstsq_grad(
         )
         nvalid = batch_mask[n].sum()
         batch_cost[n] = tike_tpu.utils.transfer.scalar(
-            jnp.sum(out["costs"] * bmask) / max(nvalid, 1)
+            jnp.sum(out["costs"] * bmask) / max(nvalid, 1),
+            default=float("nan"),
         )
 
         if recover_probe and eigen_weights is not None:

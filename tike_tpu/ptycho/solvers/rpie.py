@@ -330,12 +330,26 @@ def rpie(
     probe_update_numerator = None
     batch_cost = np.empty(num_batch, dtype=np.float64)
 
-    for n in order:
+    # Double-buffered host-to-device prefetch when data is host-resident
+    # (the >HBM streaming mode, replacing the reference's CUDA-stream
+    # pipeline `stream.py:285-404`): upload of batch k+1 overlaps compute
+    # of batch k because device_put is asynchronous.
+    host_data = isinstance(data, np.ndarray)
+    if host_data:
+        next_dev = jax.device_put(data[order[0]])
+    for k, n in enumerate(order):
         idx = jnp.asarray(batch_idx[n])
         bmask = jnp.asarray(batch_mask[n])
-        # data may be batch-major (num_batch, L, DET, DET) or flat
-        # (N, DET, DET); slice or gather accordingly.
-        data_b = data[n] if data.ndim == 4 else jnp.take(data, idx, axis=0)
+        if host_data:
+            data_b = next_dev
+            if k + 1 < len(order):
+                next_dev = jax.device_put(data[order[k + 1]])
+        else:
+            # data may be batch-major (num_batch, L, DET, DET) or flat
+            # (N, DET, DET); slice or gather accordingly.
+            data_b = (
+                data[n] if data.ndim == 4 else jnp.take(data, idx, axis=0)
+            )
         costs, psi_num, probe_num, eigen_delta = _batch_gradients(
             op,
             data_b,
@@ -356,7 +370,7 @@ def rpie(
         )
         nvalid = batch_mask[n].sum()
         batch_cost[n] = tike_tpu.utils.transfer.scalar(
-            jnp.sum(costs * bmask) / max(nvalid, 1)
+            jnp.sum(costs * bmask) / max(nvalid, 1), default=float("nan")
         )
 
         if eigen_delta is not None:

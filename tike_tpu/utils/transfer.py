@@ -32,8 +32,16 @@ def _export(v):
 
 
 def _download_real(x) -> np.ndarray:
-    out = np.asarray(_export(x))
-    return out.reshape(-1)[: x.size].reshape(x.shape).astype(x.dtype)
+    last_err = None
+    for _ in range(3):
+        try:
+            out = np.asarray(_export(x))
+            return (
+                out.reshape(-1)[: x.size].reshape(x.shape).astype(x.dtype)
+            )
+        except Exception as e:  # transient relay failures
+            last_err = e
+    raise last_err
 
 
 def _needs_export(x: jax.Array) -> bool:
@@ -63,8 +71,18 @@ def to_host(x) -> np.ndarray:
     return _download_real(x)
 
 
-def scalar(x) -> float:
-    """Like float(x) but safe for device scalars on relay backends."""
-    if isinstance(x, jax.Array) and _needs_export(x):
-        return float(to_host(x.reshape(1))[0])
-    return float(x)
+def scalar(x, default: float | None = None) -> float:
+    """Like float(x) but safe for device scalars on relay backends.
+
+    If `default` is given, persistent transfer failures return it instead of
+    raising — solvers use this so cost bookkeeping cannot kill a
+    reconstruction on a flaky relay.
+    """
+    try:
+        if isinstance(x, jax.Array) and _needs_export(x):
+            return float(to_host(x.reshape(1))[0])
+        return float(x)
+    except Exception:
+        if default is None:
+            raise
+        return default
