@@ -96,15 +96,16 @@ def main():
         probe_options=tp.ProbeOptions(),
     )
 
-    with tp.Reconstruction(data, params) as context:
-        # Warm-up epoch compiles every XLA program.
-        context.iterate(1)
-        jax.block_until_ready(context.parameters.psi)
-        n_timed = 3
-        start = time.perf_counter()
-        context.iterate(n_timed)
-        jax.block_until_ready(context.parameters.psi)
-        elapsed = time.perf_counter() - start
+    context = tp.Reconstruction(data, params)
+    context.__enter__()
+    # Warm-up epoch compiles every XLA program.
+    context.iterate(1)
+    jax.block_until_ready(context.parameters.psi)
+    n_timed = 3
+    start = time.perf_counter()
+    context.iterate(n_timed)
+    jax.block_until_ready(context.parameters.psi)
+    elapsed = time.perf_counter() - start
 
     patterns_per_sec = n_patterns * n_timed / elapsed
     print(
@@ -115,7 +116,8 @@ def main():
                 "unit": "patterns/s",
                 "vs_baseline": round(patterns_per_sec / 10_000, 3),
             }
-        )
+        ),
+        flush=True,
     )
 
 

@@ -27,11 +27,16 @@ logger = logging.getLogger(__name__)
 
 def _estimate_step_length(cfg, obj, fwd_data, theta, grid):
     """Step length scale = 2 |F* F m| / |m| (`solvers/bucket.py:9-38`)."""
+    from tike_tpu.utils.transfer import scalar
+    import numpy as _np
+
     outnback = bucket_adj(cfg, fwd_data, theta, grid)
-    objn = float(tike_tpu.linalg.norm(obj))
-    if objn == 0.0:
-        return 1.0
-    return float(2 * tike_tpu.linalg.norm(outnback) / objn)
+    s = scalar(
+        2 * tike_tpu.linalg.norm(outnback)
+        / (tike_tpu.linalg.norm(obj) + 1e-32),
+        default=float("nan"),
+    )
+    return s if _np.isfinite(s) and s > 0 else 1.0
 
 
 def bucket(
@@ -55,7 +60,9 @@ def bucket(
         step_length = _estimate_step_length(cfg, obj, fwd_data, theta, grid)
 
     def cost_function(u):
-        return float(bucket_cost(data, fwd_op(u)))
+        from tike_tpu.utils.transfer import scalar
+
+        return scalar(bucket_cost(data, fwd_op(u)))
 
     def grad(u):
         return bucket_grad(cfg, data, theta, fwd_op(u), grid).reshape(

@@ -10,6 +10,7 @@ from __future__ import annotations
 import logging
 
 import jax.numpy as jnp
+import numpy as np
 
 import tike_tpu.linalg
 import tike_tpu.opt
@@ -26,9 +27,14 @@ logger = logging.getLogger(__name__)
 
 def _estimate_step_length(obj, theta, cfg):
     """Step-length scale = |F*Fm| / |m| (`cgrad.py:9-24`)."""
+    from tike_tpu.utils.transfer import scalar
+
     outnback = lamino_adj(cfg, lamino_fwd(cfg, obj, theta), theta)
-    scaler = tike_tpu.linalg.norm(outnback) / tike_tpu.linalg.norm(obj)
-    return float(2 * scaler) if bool(jnp.isfinite(scaler)) else 1.0
+    s = scalar(
+        2 * tike_tpu.linalg.norm(outnback) / tike_tpu.linalg.norm(obj),
+        default=float("nan"),
+    )
+    return s if np.isfinite(s) else 1.0
 
 
 def cgrad(
@@ -45,7 +51,9 @@ def cgrad(
         step_length = _estimate_step_length(obj, theta, cfg)
 
     def cost_function(u):
-        return float(lamino_cost(cfg, data, theta, u))
+        from tike_tpu.utils.transfer import scalar
+
+        return scalar(lamino_cost(cfg, data, theta, u))
 
     def grad(u):
         return lamino_grad(cfg, data, theta, u)

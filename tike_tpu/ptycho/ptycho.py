@@ -338,7 +338,15 @@ class Reconstruction:
         )
 
     def __exit__(self, type, value, traceback):
-        self.parameters = self.parameters.copy_to_host()
+        try:
+            self.parameters = self.parameters.copy_to_host()
+        except Exception:
+            # Keep device-resident parameters rather than losing the state
+            # when the relay cannot complete the final transfer.
+            logger.warning(
+                "copy_to_host failed at context exit; parameters remain "
+                "device-resident."
+            )
         self.data = None
 
     def append_new_data(self, new_data, new_scan):

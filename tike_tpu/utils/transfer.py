@@ -31,6 +31,16 @@ def _export(v):
     return jnp.pad(flat, (0, k - n)).reshape(-1, 128)
 
 
+@jax.jit
+def _export_complex(v):
+    flat = v.reshape(-1)
+    n = flat.shape[0]
+    k = -(-n // 128) * 128
+    r = jnp.pad(flat.real, (0, k - n)).reshape(-1, 128)
+    i = jnp.pad(flat.imag, (0, k - n)).reshape(-1, 128)
+    return r, i
+
+
 def _download_real(x) -> np.ndarray:
     last_err = None
     for _ in range(3):
@@ -63,9 +73,18 @@ def to_host(x) -> np.ndarray:
     if not _needs_export(x):
         return np.asarray(x)
     if np.issubdtype(x.dtype, np.complexfloating):
-        real = _download_real(x.real)
-        imag = _download_real(x.imag)
-        return (real + 1j * imag).astype(x.dtype)
+        # real/imag split happens inside one jitted program so no eager
+        # primitive or unaligned buffer is ever materialized on the relay.
+        last_err = None
+        for _ in range(3):
+            try:
+                r, i = _export_complex(x)
+                real = np.asarray(r).reshape(-1)[: x.size]
+                imag = np.asarray(i).reshape(-1)[: x.size]
+                return (real + 1j * imag).reshape(x.shape).astype(x.dtype)
+            except Exception as e:
+                last_err = e
+        raise last_err
     if x.dtype == jnp.bool_:
         return _download_real(x.astype(jnp.int32)).astype(bool)
     return _download_real(x)
