@@ -428,33 +428,39 @@ def init_varying_probe(
     return eigen_probe, weights
 
 
+@jax.jit
+def _orthogonalize_eig_program(x):
+    """Device-side eigen orthogonalization + power-descending sort."""
+    nmodes = x.shape[-3]
+    flat = x.reshape(*x.shape[:-2], -1)
+    A = flat @ jnp.swapaxes(flat, -1, -2).conj()
+    _, vectors = jnp.linalg.eigh(A)
+    result = (jnp.swapaxes(vectors, -1, -2) @ flat).reshape(x.shape)
+    pwr = jnp.sum((result * jnp.conj(result)).real, axis=(-2, -1))
+    order = jnp.argsort(-pwr.reshape(-1))
+    result = result.reshape(-1, *x.shape[-2:])[order].reshape(x.shape)
+    return result, pwr.reshape(-1)[order]
+
+
 def orthogonalize_eig(x):
     """Orthogonalize modes via eigenvectors of the pairwise dot product.
 
     Returns (orthogonalized probes sorted by power desc, power). Mirrors
-    `probe.py:726-770`.
+    `probe.py:726-770`. One jitted program; the power vector is the only
+    host transfer.
     """
-    x = jnp.asarray(x)
-    nmodes = x.shape[-3]
-    flat = x.reshape(*x.shape[:-2], -1)
-    A = flat @ jnp.swapaxes(flat, -1, -2).conj()
-    # A[i, j] = <x_j, x_i>; we need <x_i|x_j> Hermitian — eigh handles either
-    # orientation since power ordering is what matters.
-    _, vectors = jnp.linalg.eigh(A)
-    result = (jnp.swapaxes(vectors, -1, -2) @ flat).reshape(x.shape)
-    pwr = np.square(
-        to_host(la.norm(result, axis=(-2, -1), keepdims=False))
-    ).flatten()
-    order = np.argsort(pwr, kind="stable")[::-1]
-    result = result[..., jnp.asarray(np.ascontiguousarray(order)), :, :]
-    return result, pwr[order]
+    result, pwr = _orthogonalize_eig_program(jnp.asarray(x))
+    return result, to_host(pwr)
+
+
+@jax.jit
+def _power_program(probe):
+    return jnp.sum((probe * jnp.conj(probe)).real, axis=(-2, -1)).reshape(-1)
 
 
 def power(probe):
     """Return the power of each probe mode (`probe.py:773-781`)."""
-    return np.square(
-        to_host(la.norm(probe, axis=(-2, -1), keepdims=False))
-    ).flatten()
+    return to_host(_power_program(jnp.asarray(probe)))
 
 
 def gaussian(size, rin=0.8, rout=1.0):

@@ -384,6 +384,70 @@ def reconstruct(
     return result
 
 
+import functools
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "support",
+        "support_radius",
+        "support_degree",
+        "penalty",
+        "median",
+        "median_px",
+        "center",
+        "sparsity",
+        "orthogonality",
+    ),
+)
+def _probe_constraints_program(
+    probe,
+    *,
+    support: float,
+    support_radius: float,
+    support_degree: float,
+    penalty: float,
+    median: bool,
+    median_px: tuple,
+    center: bool,
+    sparsity: float,
+    orthogonality: bool,
+):
+    """All per-epoch probe constraints fused into one XLA program.
+
+    The reference applies these as separate CuPy calls
+    (`ptycho/ptycho.py:723-810`); fusing them avoids one dispatch per
+    constraint and keeps every intermediate on-device.
+    """
+    if support > 0:
+        b0 = probe_module.finite_probe_support(
+            probe, p=support, radius=support_radius, degree=support_degree
+        )
+        probe = probe - b0 * jnp.conj(b0 * probe)
+    if penalty > 0:
+        b1 = (
+            penalty
+            * jnp.linspace(0, 1, probe.shape[-3], dtype=floating)[
+                ..., None, None
+            ]
+        )
+        probe = probe - b1 * jnp.conj(b1 * probe)
+    if median:
+        probe = probe_module.apply_median_filter_abs_probe(
+            probe, med_filt_px=median_px
+        )
+    if center:
+        probe = probe_module.constrain_center_peak(probe)
+    if sparsity < 1:
+        probe = probe_module.constrain_probe_sparsity(probe, f=sparsity)
+    if orthogonality:
+        probe, pwr = probe_module._orthogonalize_eig_program(probe)
+    else:
+        pwr = probe_module._power_program(probe)
+    return probe, pwr
+
+
 def _apply_probe_constraints(
     parameters: PtychoParameters, *, epoch: int
 ) -> PtychoParameters:
@@ -391,38 +455,19 @@ def _apply_probe_constraints(
     if parameters.probe_options is not None:
         popts = parameters.probe_options
         if popts.recover_probe(epoch):
-            probe = jnp.asarray(parameters.probe)
-            if popts.probe_support > 0:
-                b0 = probe_module.finite_probe_support(
-                    probe,
-                    p=popts.probe_support,
-                    radius=popts.probe_support_radius,
-                    degree=popts.probe_support_degree,
-                )
-                probe = probe - b0 * jnp.conj(b0 * probe)
-            if popts.additional_probe_penalty > 0:
-                b1 = (
-                    popts.additional_probe_penalty
-                    * jnp.linspace(0, 1, probe.shape[-3], dtype=floating)[
-                        ..., None, None
-                    ]
-                )
-                probe = probe - b1 * jnp.conj(b1 * probe)
-            if popts.median_filter_abs_probe:
-                probe = probe_module.apply_median_filter_abs_probe(
-                    probe, med_filt_px=popts.median_filter_abs_probe_px
-                )
-            if popts.force_centered_intensity:
-                probe = probe_module.constrain_center_peak(probe)
-            if popts.force_sparsity < 1:
-                probe = probe_module.constrain_probe_sparsity(
-                    probe, f=popts.force_sparsity
-                )
-            if popts.force_orthogonality:
-                probe, power = probe_module.orthogonalize_eig(probe)
-            else:
-                power = probe_module.power(probe)
-            popts.power.append(to_host(jnp.asarray(power)) if hasattr(power, "devices") else np.asarray(power))
+            probe, pwr = _probe_constraints_program(
+                jnp.asarray(parameters.probe),
+                support=popts.probe_support,
+                support_radius=popts.probe_support_radius,
+                support_degree=popts.probe_support_degree,
+                penalty=popts.additional_probe_penalty,
+                median=popts.median_filter_abs_probe,
+                median_px=tuple(popts.median_filter_abs_probe_px),
+                center=popts.force_centered_intensity,
+                sparsity=popts.force_sparsity,
+                orthogonality=popts.force_orthogonality,
+            )
+            popts.power.append(to_host(pwr))
             parameters.probe = probe
 
         if (
@@ -450,6 +495,34 @@ def _apply_probe_constraints(
     return parameters
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("positivity", "smoothness", "clip", "rescale"),
+)
+def _object_constraints_program(
+    psi,
+    probe,
+    preconditioner,
+    *,
+    positivity: float,
+    smoothness: float,
+    clip: bool,
+    rescale: bool,
+):
+    """All per-epoch object constraints fused into one XLA program."""
+    if positivity:
+        psi = object_module.positivity_constraint(psi, r=positivity)
+    if smoothness:
+        psi = object_module.smoothness_constraint(psi, a=smoothness)
+    if clip:
+        psi = object_module.clip_magnitude(psi, a_max=1.0)
+    if rescale:
+        psi, probe = object_module.remove_object_ambiguity(
+            psi, probe, preconditioner
+        )
+    return psi, probe
+
+
 def _apply_object_constraints(
     parameters: PtychoParameters,
 ) -> PtychoParameters:
@@ -457,31 +530,25 @@ def _apply_object_constraints(
     oopts = parameters.object_options
     if oopts is None:
         return parameters
-    if oopts.positivity_constraint:
-        parameters.psi = object_module.positivity_constraint(
-            parameters.psi, r=oopts.positivity_constraint
-        )
-    if oopts.smoothness_constraint:
-        parameters.psi = object_module.smoothness_constraint(
-            parameters.psi, a=oopts.smoothness_constraint
-        )
-    if oopts.clip_magnitude:
-        parameters.psi = object_module.clip_magnitude(
-            parameters.psi, a_max=1.0
-        )
-    if (
+    rescale = (
         parameters.algorithm_options.name != "dm"
         and parameters.algorithm_options.rescale_method == "mean_of_abs_object"
         and oopts.preconditioner is not None
         and len(parameters.algorithm_options.costs)
         % parameters.algorithm_options.rescale_period
         == 0
-    ):
-        parameters.psi, parameters.probe = (
-            object_module.remove_object_ambiguity(
-                parameters.psi, parameters.probe, oopts.preconditioner
-            )
-        )
+    )
+    parameters.psi, parameters.probe = _object_constraints_program(
+        jnp.asarray(parameters.psi),
+        jnp.asarray(parameters.probe),
+        oopts.preconditioner
+        if oopts.preconditioner is not None
+        else jnp.ones_like(jnp.asarray(parameters.psi)),
+        positivity=float(oopts.positivity_constraint),
+        smoothness=float(oopts.smoothness_constraint),
+        clip=bool(oopts.clip_magnitude),
+        rescale=bool(rescale),
+    )
     return parameters
 
 

@@ -189,6 +189,34 @@ def _batch_gradients(
     return costs, psi_num, probe_num, eigen_delta
 
 
+@functools.partial(
+    jax.jit, static_argnames=("recover_psi", "recover_probe")
+)
+def _plain_update_program(
+    psi,
+    probe,
+    psi_num,
+    probe_num,
+    psi_precond,
+    probe_precond,
+    alpha,
+    *,
+    recover_psi: bool,
+    recover_probe: bool,
+):
+    """The non-momentum rPIE update fused into one XLA program."""
+    if recover_psi:
+        deno = (1 - alpha) * psi_precond + alpha * jnp.abs(psi_precond).max(
+            axis=(-2, -1), keepdims=True
+        )
+        psi = psi + psi_num / deno
+    if recover_probe:
+        ppre = jnp.abs(probe_precond[0])
+        pdeno = (1 - alpha) * ppre + alpha * ppre.max()
+        probe = probe + probe_num[0] / pdeno
+    return psi, probe
+
+
 def _update(
     psi,
     probe,
@@ -206,6 +234,34 @@ def _update(
     happens here on the options objects (host-held jnp arrays).
     """
     alpha = algorithm_options.alpha
+    use_moments = (
+        object_options is not None and object_options.use_adaptive_moment
+    ) or (
+        recover_probe
+        and probe_options is not None
+        and probe_options.use_adaptive_moment
+    )
+    if not use_moments:
+        # Fast path: one fused program, no intermediate dispatches.
+        return _plain_update_program(
+            psi,
+            probe,
+            psi_update_numerator
+            if psi_update_numerator is not None
+            else jnp.zeros_like(psi),
+            probe_update_numerator
+            if probe_update_numerator is not None
+            else jnp.zeros((1, *probe.shape), probe.dtype),
+            object_options.preconditioner
+            if object_options is not None
+            else jnp.ones_like(psi),
+            probe_options.preconditioner
+            if probe_options is not None and recover_probe
+            else jnp.ones((1, *probe.shape[-2:]), probe.dtype),
+            jnp.asarray(alpha, psi.real.dtype),
+            recover_psi=object_options is not None,
+            recover_probe=recover_probe,
+        )
     if object_options:
         dpsi = psi_update_numerator
         deno = (1 - alpha) * object_options.preconditioner + alpha * jnp.abs(
