@@ -91,14 +91,20 @@ def bucket_fwd(cfg: BucketConfig, u, theta, grid):
     weight = jnp.asarray(1.0 / cfg.precision**3, dtype=u.real.dtype)
     offsets = jnp.asarray(_subsample_offsets(cfg.precision))
 
+    # Float-pair scatter: complex scatters/gathers are unsupported on some
+    # TPU backends.
+    uf = jnp.stack([u_flat.real, u_flat.imag], axis=-1)  # (G, 2)
+
     def per_theta(theta_t):
         def body(acc, off):
             flat = _plane_flat_indices(cfg, grid, off, theta_t)
-            return acc.at[flat].add(u_flat * weight), None
+            return acc.at[flat].add(uf * weight), None
 
-        acc0 = jnp.zeros(cfg.n * cfg.n, dtype=u.dtype)
+        acc0 = jnp.zeros((cfg.n * cfg.n, 2), dtype=u.real.dtype)
         acc, _ = jax.lax.scan(body, acc0, offsets)
-        return acc.reshape(cfg.n, cfg.n)
+        return jax.lax.complex(acc[:, 0], acc[:, 1]).astype(u.dtype).reshape(
+            cfg.n, cfg.n
+        )
 
     return jax.lax.map(per_theta, theta)
 
@@ -111,18 +117,20 @@ def bucket_adj(cfg: BucketConfig, data, theta, grid):
 
     def per_theta(carry, inputs):
         theta_t, plane = inputs
-        plane_flat = plane.reshape(-1)
+        pf = jnp.stack(
+            [plane.real, plane.imag], axis=-1
+        ).reshape(-1, 2)  # float-pair gather
 
         def body(acc, off):
             flat = _plane_flat_indices(cfg, grid, off, theta_t)
-            return acc + plane_flat[flat] * weight, None
+            return acc + pf[flat] * weight, None
 
         acc, _ = jax.lax.scan(body, carry, offsets)
         return acc, None
 
-    u0 = jnp.zeros(grid.shape[0], dtype=data.dtype)
+    u0 = jnp.zeros((grid.shape[0], 2), dtype=data.real.dtype)
     u, _ = jax.lax.scan(per_theta, u0, (theta, data))
-    return u
+    return jax.lax.complex(u[:, 0], u[:, 1]).astype(data.dtype)
 
 
 def bucket_cost(data, fwd_data):

@@ -38,9 +38,16 @@ def remap_lanczos_fwd(Fe, x, m: int, cval=0.0):
     """Sample Fe (H, W) at points x (N, 2) with Lanczos filtering -> (N,)."""
     h, w = Fe.shape
     center = jnp.floor(x).astype(jnp.int32)  # (N, 2)
-    Fe_flat = Fe.reshape(-1)
+    # Float-pair gathers: complex gathers are unsupported on some backends.
+    Fe_flat = jnp.stack(
+        [Fe.real, Fe.imag], axis=-1
+    ).reshape(-1, 2) if jnp.iscomplexobj(Fe) else Fe.reshape(-1, 1)
+    nch = Fe_flat.shape[-1]
     offsets = jnp.asarray(_offsets2d(m))
-    cval = jnp.asarray(cval, dtype=Fe.dtype)
+    cval_c = jnp.asarray(cval, dtype=jnp.complex64)
+    cval_f = jnp.asarray(
+        [cval_c.real, cval_c.imag][:nch], dtype=Fe.real.dtype
+    )
 
     def body(acc, off):
         pt = center + off[None, :]
@@ -51,12 +58,14 @@ def remap_lanczos_fwd(Fe, x, m: int, cval=0.0):
             (pt[:, 0] >= 0) & (pt[:, 0] < h) & (pt[:, 1] >= 0) & (pt[:, 1] < w)
         )
         flat = jnp.clip(pt[:, 0], 0, h - 1) * w + jnp.clip(pt[:, 1], 0, w - 1)
-        vals = jnp.where(inside, Fe_flat[flat], cval)
-        return acc + vals * wgt, None
+        vals = jnp.where(inside[:, None], Fe_flat[flat], cval_f[None, :])
+        return acc + vals * wgt[:, None], None
 
-    acc0 = jnp.zeros(x.shape[0], dtype=Fe.dtype)
+    acc0 = jnp.zeros((x.shape[0], nch), dtype=Fe.real.dtype)
     acc, _ = jax.lax.scan(body, acc0, offsets)
-    return acc
+    if jnp.iscomplexobj(Fe):
+        return jax.lax.complex(acc[:, 0], acc[:, 1]).astype(Fe.dtype)
+    return acc[:, 0].astype(Fe.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("m", "grid_shape"))
@@ -65,6 +74,12 @@ def remap_lanczos_adj(points, x, m: int, grid_shape):
     h, w = grid_shape
     center = jnp.floor(x).astype(jnp.int32)
     offsets = jnp.asarray(_offsets2d(m))
+    pts = (
+        jnp.stack([points.real, points.imag], axis=-1)
+        if jnp.iscomplexobj(points)
+        else points[:, None]
+    )
+    nch = pts.shape[-1]
 
     def body(G, off):
         pt = center + off[None, :]
@@ -75,9 +90,13 @@ def remap_lanczos_adj(points, x, m: int, grid_shape):
             (pt[:, 0] >= 0) & (pt[:, 0] < h) & (pt[:, 1] >= 0) & (pt[:, 1] < w)
         )
         flat = jnp.clip(pt[:, 0], 0, h - 1) * w + jnp.clip(pt[:, 1], 0, w - 1)
-        vals = jnp.where(inside, points * wgt, 0)
+        vals = jnp.where(inside[:, None], pts * wgt[:, None], 0)
         return G.at[flat].add(vals), None
 
-    G0 = jnp.zeros(h * w, dtype=points.dtype)
+    G0 = jnp.zeros((h * w, nch), dtype=pts.dtype)
     G, _ = jax.lax.scan(body, G0, offsets)
-    return G.reshape(h, w)
+    if jnp.iscomplexobj(points):
+        return jax.lax.complex(G[:, 0], G[:, 1]).astype(points.dtype).reshape(
+            h, w
+        )
+    return G[:, 0].astype(points.dtype).reshape(h, w)

@@ -29,6 +29,25 @@ import jax
 import jax.numpy as jnp
 
 
+def _c2f(x):
+    """View complex as trailing-axis (re, im) float pairs.
+
+    TPU gathers/dynamic-slices on complex dtypes are unsupported on some
+    backends (and slower even where supported); all windowed gathers and
+    scatters below run on float pairs and recombine at the end. Real inputs
+    pass through unchanged.
+    """
+    if jnp.iscomplexobj(x):
+        return jnp.stack([x.real, x.imag], axis=-1)
+    return x[..., None]
+
+
+def _f2c(x, dtype):
+    if jnp.issubdtype(dtype, jnp.complexfloating):
+        return jax.lax.complex(x[..., 0], x[..., 1]).astype(dtype)
+    return x[..., 0].astype(dtype)
+
+
 def _split_positions(positions):
     """Split float positions into integer corners and fractional weights."""
     lo = jnp.floor(positions)
@@ -54,33 +73,36 @@ def patch_fwd(
     patches : (N, P, P) complex
     """
     corner, frac = _split_positions(positions)
-    fy = frac[:, 0][:, None, None]
-    fx = frac[:, 1][:, None, None]
+    fy = frac[:, 0][:, None, None, None]
+    fx = frac[:, 1][:, None, None, None]
+    imf = _c2f(images)  # (H, W, C)
+    nch = imf.shape[-1]
 
     def one_window(c):
         return jax.lax.dynamic_slice(
-            images, (c[0], c[1]), (patch_width + 1, patch_width + 1)
+            imf, (c[0], c[1], 0), (patch_width + 1, patch_width + 1, nch)
         )
 
-    win = jax.vmap(one_window)(corner)  # (N, P+1, P+1)
-    return (
+    win = jax.vmap(one_window)(corner)  # (N, P+1, P+1, C)
+    out = (
         (1 - fy) * (1 - fx) * win[:, :-1, :-1]
         + (1 - fy) * fx * win[:, :-1, 1:]
         + fy * (1 - fx) * win[:, 1:, :-1]
         + fy * fx * win[:, 1:, 1:]
     )
+    return _f2c(out, images.dtype)
 
 
-def _spread_windows(patches: jax.Array, frac: jax.Array) -> jax.Array:
-    """Spread (N, P, P) patches into (N, P+1, P+1) bilinear windows."""
-    n, p, _ = patches.shape
-    fy = frac[:, 0][:, None, None]
-    fx = frac[:, 1][:, None, None]
-    win = jnp.zeros((n, p + 1, p + 1), dtype=patches.dtype)
-    win = win.at[:, :-1, :-1].add((1 - fy) * (1 - fx) * patches)
-    win = win.at[:, :-1, 1:].add((1 - fy) * fx * patches)
-    win = win.at[:, 1:, :-1].add(fy * (1 - fx) * patches)
-    win = win.at[:, 1:, 1:].add(fy * fx * patches)
+def _spread_windows_f(patches_f: jax.Array, frac: jax.Array) -> jax.Array:
+    """Spread (N, P, P, C) float patches into (N, P+1, P+1, C) windows."""
+    n, p, _, c = patches_f.shape
+    fy = frac[:, 0][:, None, None, None]
+    fx = frac[:, 1][:, None, None, None]
+    win = jnp.zeros((n, p + 1, p + 1, c), dtype=patches_f.dtype)
+    win = win.at[:, :-1, :-1].add((1 - fy) * (1 - fx) * patches_f)
+    win = win.at[:, :-1, 1:].add((1 - fy) * fx * patches_f)
+    win = win.at[:, 1:, :-1].add(fy * (1 - fx) * patches_f)
+    win = win.at[:, 1:, 1:].add(fy * fx * patches_f)
     return win
 
 
@@ -98,7 +120,9 @@ def patch_adj_scatter(
     h, w = images_shape
     n, p, _ = patches.shape
     corner, frac = _split_positions(positions)
-    win = _spread_windows(patches, frac)  # (N, P+1, P+1)
+    pf = _c2f(patches)
+    win = _spread_windows_f(pf, frac)  # (N, P+1, P+1, C)
+    nch = win.shape[-1]
 
     span = jnp.arange(p + 1, dtype=jnp.int32)
     rows = corner[:, 0:1] + span[None, :]  # (N, P+1)
@@ -106,13 +130,13 @@ def patch_adj_scatter(
     flat = (rows[:, :, None] * w + cols[:, None, :]).reshape(-1)
 
     if images is None:
-        acc = jnp.zeros(h * w, dtype=patches.dtype)
+        acc = jnp.zeros((h * w, nch), dtype=pf.dtype)
     else:
-        acc = images.reshape(-1)
+        acc = _c2f(images).reshape(h * w, nch)
     acc = acc.at[flat].add(
-        win.reshape(-1), mode="drop", unique_indices=False
+        win.reshape(-1, nch), mode="drop", unique_indices=False
     )
-    return acc.reshape(h, w)
+    return _f2c(acc.reshape(h, w, nch), patches.dtype)
 
 
 def patch_adj(
@@ -139,23 +163,29 @@ def patch_adj(
     h, w = images_shape
     n, p, _ = patches.shape
     corner, frac = _split_positions(positions)
-    win = _spread_windows(patches, frac)  # (N, P+1, P+1)
+    pf = _c2f(patches)
+    win = _spread_windows_f(pf, frac)  # (N, P+1, P+1, C)
+    nch = win.shape[-1]
 
     if images is None:
-        acc0 = jnp.zeros((h, w), dtype=patches.dtype)
+        acc0 = jnp.zeros((h, w, nch), dtype=pf.dtype)
     else:
-        acc0 = images
+        acc0 = _c2f(images)
 
     def body(acc, inp):
         window, c = inp
-        cur = jax.lax.dynamic_slice(acc, (c[0], c[1]), (p + 1, p + 1))
+        cur = jax.lax.dynamic_slice(
+            acc, (c[0], c[1], 0), (p + 1, p + 1, nch)
+        )
         return (
-            jax.lax.dynamic_update_slice(acc, cur + window, (c[0], c[1])),
+            jax.lax.dynamic_update_slice(
+                acc, cur + window, (c[0], c[1], 0)
+            ),
             None,
         )
 
     acc, _ = jax.lax.scan(body, acc0, (win, corner))
-    return acc
+    return _f2c(acc, patches.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("patch_width", "padded_width"))

@@ -86,7 +86,9 @@ def gather(Fe, x, n: int, m: int, mu: float):
     cons1 = -np.pi**2 / mu
     half = n // 2
     ell = jnp.floor(n * x).astype(jnp.int32)  # (N, 3)
-    Fe_flat = Fe.reshape(-1)
+    # Complex gathers are unsupported/slow on some TPU backends; gather the
+    # (re, im) float pair instead and recombine.
+    Fe_flat = jnp.stack([Fe.real, Fe.imag], axis=-1).reshape(-1, 2)
     offsets = jnp.asarray(_tap_offsets(m))  # (T, 3)
 
     def body(acc, off):
@@ -95,11 +97,11 @@ def gather(Fe, x, n: int, m: int, mu: float):
         w = cons0 * jnp.exp(cons1 * delta)
         g = (half + idx) % n
         flat = (g[:, 0] * n + g[:, 1]) * n + g[:, 2]
-        return acc + Fe_flat[flat] * w, None
+        return acc + Fe_flat[flat] * w[:, None], None
 
-    acc0 = jnp.zeros(x.shape[0], dtype=Fe.dtype)
+    acc0 = jnp.zeros((x.shape[0], 2), dtype=Fe.real.dtype)
     acc, _ = jax.lax.scan(body, acc0, offsets)
-    return acc
+    return jax.lax.complex(acc[:, 0], acc[:, 1]).astype(Fe.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "m", "mu"))
@@ -115,6 +117,7 @@ def scatter(f, x, n: int, m: int, mu: float):
     half = n // 2
     ell = jnp.floor(n * x).astype(jnp.int32)
     offsets = jnp.asarray(_tap_offsets(m))
+    f2 = jnp.stack([f.real, f.imag], axis=-1)  # (N, 2) float
 
     def body(G, off):
         idx = ell + off[None, :]
@@ -122,11 +125,13 @@ def scatter(f, x, n: int, m: int, mu: float):
         w = cons0 * jnp.exp(cons1 * delta)
         g = (half + idx) % n
         flat = (g[:, 0] * n + g[:, 1]) * n + g[:, 2]
-        return G.at[flat].add(f * w), None
+        return G.at[flat].add(f2 * w[:, None]), None
 
-    G0 = jnp.zeros(n * n * n, dtype=f.dtype)
+    G0 = jnp.zeros((n * n * n, 2), dtype=f.real.dtype)
     G, _ = jax.lax.scan(body, G0, offsets)
-    return G.reshape(n, n, n)
+    return jax.lax.complex(G[:, 0], G[:, 1]).astype(f.dtype).reshape(
+        n, n, n
+    )
 
 
 # Aliases matching the reference's numpy test oracles.

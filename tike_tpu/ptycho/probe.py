@@ -438,8 +438,15 @@ def _orthogonalize_eig_program(x):
     result = (jnp.swapaxes(vectors, -1, -2) @ flat).reshape(x.shape)
     pwr = jnp.sum((result * jnp.conj(result)).real, axis=(-2, -1))
     order = jnp.argsort(-pwr.reshape(-1))
-    result = result.reshape(-1, *x.shape[-2:])[order].reshape(x.shape)
-    return result, pwr.reshape(-1)[order]
+    # Permute modes with a one-hot matmul: complex gathers are unsupported
+    # on some TPU backends and a (M, M) matmul is trivially cheap.
+    k = pwr.reshape(-1).shape[0]
+    perm = jax.nn.one_hot(order, k, dtype=result.real.dtype)
+    flat_modes = result.reshape(k, -1)
+    sorted_modes = (
+        perm @ flat_modes.real + 1j * (perm @ flat_modes.imag)
+    ).astype(result.dtype)
+    return sorted_modes.reshape(x.shape), pwr.reshape(-1)[order]
 
 
 def orthogonalize_eig(x):

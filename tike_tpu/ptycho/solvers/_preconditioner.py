@@ -23,6 +23,8 @@ from tike_tpu.ops.propagation import fresnel_fwd
 from tike_tpu.ops.ptycho import PtychoConfig
 from .options import PtychoParameters
 
+_jit_add = jax.jit(jnp.add)
+
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def psi_preconditioner(cfg: PtychoConfig, psi, scan, probe, mask=None):
@@ -117,12 +119,16 @@ def update_preconditioners(
             contrib = psi_preconditioner(
                 cfg, parameters.psi, scan_b, parameters.probe, bmask
             )
-            psi_pre = contrib if psi_pre is None else psi_pre + contrib
+            psi_pre = (
+                contrib if psi_pre is None else _jit_add(psi_pre, contrib)
+            )
         if parameters.probe_options:
             contrib = probe_preconditioner(
                 cfg, parameters.psi, scan_b, bmask
             )
-            probe_pre = contrib if probe_pre is None else probe_pre + contrib
+            probe_pre = (
+                contrib if probe_pre is None else _jit_add(probe_pre, contrib)
+            )
     if parameters.object_options:
         parameters.object_options.preconditioner = psi_pre
     if parameters.probe_options:

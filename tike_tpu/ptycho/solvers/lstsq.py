@@ -43,6 +43,8 @@ from .rpie import _masked_mean_each_pattern
 
 logger = logging.getLogger(__name__)
 
+_jit_add = jax.jit(jnp.add)
+
 
 def _trim_mean(x, proportion=0.05, axis=0):
     """Mean with the extreme `proportion` trimmed from both ends."""
@@ -466,8 +468,8 @@ def lstsq_grad(
                     )
                 psi = psi + dpsi
             else:
-                object_combined_update = (
-                    object_combined_update + out["object_upd_sum"]
+                object_combined_update = _jit_add(
+                    object_combined_update, out["object_upd_sum"]
                 )
             beta_object.append(out["beta_object"])
 

@@ -340,6 +340,9 @@ def _update(
     return psi, probe
 
 
+_jit_add = jax.jit(lambda a, b: jax.tree_util.tree_map(jnp.add, a, b))
+
+
 def _normalize_eigen_weights(eigen_weights):
     import tike_tpu.linalg as la
 
@@ -436,8 +439,10 @@ def rpie(
             psi_update_numerator = psi_num
             probe_update_numerator = probe_num
         else:
-            psi_update_numerator = psi_update_numerator + psi_num
-            probe_update_numerator = probe_update_numerator + probe_num
+            psi_update_numerator, probe_update_numerator = _jit_add(
+                (psi_update_numerator, probe_update_numerator),
+                (psi_num, probe_num),
+            )
 
         if algorithm_options.batch_method != "compact":
             psi, probe = _update(
