@@ -236,7 +236,10 @@ def ptycho_cost(
     return objective.COST[model](data, intensity)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+from ..utils.pairs import pair_jit as _pair_jit
+
+
+@functools.partial(_pair_jit, static_argnames=("cfg",))
 def simulate_intensity(
     cfg: PtychoConfig,
     psi: jax.Array,

@@ -34,6 +34,7 @@ from tike_tpu.ops.ptycho import (
 from tike_tpu.precision import cfloating, floating
 
 from tike_tpu.utils.transfer import to_host
+from tike_tpu.utils.pairs import Pair, pair_jit, upload as pair_upload
 
 from . import object as object_module
 from . import probe as probe_module
@@ -387,8 +388,7 @@ def reconstruct(
 import functools
 
 
-@functools.partial(
-    jax.jit,
+@pair_jit(
     static_argnames=(
         "support",
         "support_radius",
@@ -456,7 +456,7 @@ def _apply_probe_constraints(
         popts = parameters.probe_options
         if popts.recover_probe(epoch):
             probe, pwr = _probe_constraints_program(
-                jnp.asarray(parameters.probe),
+                parameters.probe,
                 support=popts.probe_support,
                 support_radius=popts.probe_support_radius,
                 support_degree=popts.probe_support_degree,
@@ -495,8 +495,7 @@ def _apply_probe_constraints(
     return parameters
 
 
-@functools.partial(
-    jax.jit,
+@pair_jit(
     static_argnames=("positivity", "smoothness", "clip", "rescale"),
 )
 def _object_constraints_program(
@@ -538,12 +537,14 @@ def _apply_object_constraints(
         % parameters.algorithm_options.rescale_period
         == 0
     )
+    from .solvers.rpie import _ones_like
+
     parameters.psi, parameters.probe = _object_constraints_program(
-        jnp.asarray(parameters.psi),
-        jnp.asarray(parameters.probe),
+        parameters.psi,
+        parameters.probe,
         oopts.preconditioner
         if oopts.preconditioner is not None
-        else jnp.ones_like(jnp.asarray(parameters.psi)),
+        else _ones_like(parameters.psi),
         positivity=float(oopts.positivity_constraint),
         smoothness=float(oopts.smoothness_constraint),
         clip=bool(oopts.clip_magnitude),
@@ -579,7 +580,7 @@ def _rescale_probe(
     """
     import functools
 
-    @functools.partial(jax.jit, static_argnames=("cfg",))
+    @pair_jit(static_argnames=("cfg",))
     def sums(cfg, data_b, bmask, psi, scan_b, probe, measured_pixels):
         intensity = intensity_from_farplane(
             ptycho_fwd(cfg, psi, scan_b, probe[:, 0])
@@ -616,7 +617,9 @@ def _rescale_probe(
     parameters.probe = parameters.probe * rescale
     if np.isnan(parameters.probe_options.probe_photons):
         parameters.probe_options.probe_photons = _scalar(
-            jnp.sum(jnp.square(jnp.abs(parameters.probe))),
+            pair_jit(lambda p: jnp.sum(jnp.square(jnp.abs(p))))(
+                parameters.probe
+            ),
             default=float("nan"),
         )
     return parameters

@@ -21,12 +21,13 @@ import jax.numpy as jnp
 from tike_tpu.ops.patch import patch_adj, patch_fwd
 from tike_tpu.ops.propagation import fresnel_fwd
 from tike_tpu.ops.ptycho import PtychoConfig
+from tike_tpu.utils.pairs import pair_jit
 from .options import PtychoParameters
 
-_jit_add = jax.jit(jnp.add)
+_jit_add = jax.jit(lambda a, b: jax.tree_util.tree_map(jnp.add, a, b))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@pair_jit(static_argnames=("cfg",))
 def psi_preconditioner(cfg: PtychoConfig, psi, scan, probe, mask=None):
     """Return (D, H, W) sum of |illumination|^2 at each object pixel.
 
@@ -63,7 +64,7 @@ def psi_preconditioner(cfg: PtychoConfig, psi, scan, probe, mask=None):
     return jnp.stack(slices)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@pair_jit(static_argnames=("cfg",))
 def probe_preconditioner(cfg: PtychoConfig, psi, scan, mask=None):
     """Return (D, P, P) sum of |object patches|^2 per slice."""
     w = (

@@ -23,6 +23,7 @@ import numpy as np
 import tike_tpu.linalg as la
 import tike_tpu.opt
 import tike_tpu.utils.transfer
+from tike_tpu.utils.pairs import Pair, pair_jit
 from tike_tpu.ops.objective import ELEMENTWISE, GRAD
 from tike_tpu.ops.patch import patch_adj, patch_fwd
 from tike_tpu.ops.propagation import propagation_adj, propagation_fwd
@@ -43,7 +44,9 @@ from .rpie import _masked_mean_each_pattern
 
 logger = logging.getLogger(__name__)
 
-_jit_add = jax.jit(jnp.add)
+_jit_add = jax.jit(lambda a, b: jax.tree_util.tree_map(jnp.add, a, b))
+_bmul = pair_jit(lambda b, x: b * x)
+_precondition_object_update_p = None  # set below after definition
 
 
 def _trim_mean(x, proportion=0.05, axis=0):
@@ -56,8 +59,7 @@ def _trim_mean(x, proportion=0.05, axis=0):
     return jnp.mean(s[tuple(sl)], axis=axis, keepdims=True)
 
 
-@functools.partial(
-    jax.jit,
+@pair_jit(
     static_argnames=(
         "cfg",
         "num_batch",
@@ -386,8 +388,10 @@ def lstsq_grad(
     else:
         order = rng.permutation(num_batch)
 
-    object_combined_update = jnp.zeros_like(psi)
-    probe_combined_update = jnp.zeros_like(probe)
+    from .rpie import _zeros_like
+
+    object_combined_update = _zeros_like(psi)
+    probe_combined_update = _zeros_like(probe)
     pos_num = jnp.zeros_like(scan) if position_options is not None else None
     pos_den = jnp.zeros_like(scan) if position_options is not None else None
     batch_cost = np.empty(num_batch, dtype=np.float64)
@@ -453,16 +457,21 @@ def lstsq_grad(
 
         if recover_psi:
             if algorithm_options.batch_method != "compact":
-                dpsi = out["beta_object"] * out["object_update_precond"]
+                dpsi = _bmul(
+                    out["beta_object"], out["object_update_precond"]
+                )
                 if object_options.use_adaptive_moment:
+                    from .rpie import _moment_fn
+
                     (
                         dpsi,
                         object_options.v,
                         object_options.m,
-                    ) = tike_tpu.opt.momentum(
-                        g=dpsi,
-                        v=object_options.v,
-                        m=object_options.m,
+                    ) = _moment_fn(
+                        tike_tpu.opt.momentum,
+                        dpsi,
+                        object_options.v,
+                        object_options.m,
                         vdecay=object_options.vdecay,
                         mdecay=object_options.mdecay,
                     )
@@ -474,7 +483,7 @@ def lstsq_grad(
             beta_object.append(out["beta_object"])
 
         if recover_probe:
-            dprobe = out["beta_probe"] * out["m_probe_update"]
+            dprobe = _bmul(out["beta_probe"], out["m_probe_update"])
             probe_combined_update = (
                 probe_combined_update + dprobe / num_batch
             )
@@ -493,52 +502,71 @@ def lstsq_grad(
     algorithm_options.costs.append([float(batch_cost.mean())])
 
     if recover_psi and algorithm_options.batch_method == "compact":
-        object_update_precond = _precondition_object_update(
+        object_update_precond = pair_jit(_precondition_object_update)(
             object_combined_update, object_options.preconditioner
         )
         bobj = tike_tpu.utils.transfer.scalar(
             jnp.mean(jnp.stack([jnp.asarray(b) for b in beta_object]))
         )
-        dpsi = bobj * object_update_precond
+        dpsi = object_update_precond * bobj
         psi = psi + dpsi
         if object_options.use_adaptive_moment:
+            from .rpie import _moment_fn
+
             (
                 dpsi,
                 object_options.v,
                 object_options.m,
-            ) = tike_tpu.opt.momentum_checked(
-                g=dpsi,
-                v=object_options.v,
-                m=object_options.m,
+            ) = _moment_fn(
+                tike_tpu.opt.momentum_checked,
+                dpsi,
+                object_options.v,
+                object_options.m,
                 mdecay=object_options.mdecay,
                 errors=[float(x[0]) for x in algorithm_options.costs[-3:]],
                 beta=bobj,
                 memory_length=3,
             )
-            weight = jnp.abs(object_options.preconditioner)
-            weight = weight / (0.1 * weight.max() + weight)
-            psi = psi + weight * dpsi
+            psi = psi + pair_jit(
+                lambda w, d: (
+                    jnp.abs(w) / (0.1 * jnp.abs(w).max() + jnp.abs(w))
+                )
+                * d
+            )(object_options.preconditioner, dpsi)
 
     if recover_probe and probe_options.use_adaptive_moment:
+        from .rpie import _moment_fn
+
         bprb = tike_tpu.utils.transfer.scalar(
             jnp.mean(jnp.stack(beta_probe))
         )
         dprobe = probe_combined_update
         mode = 0
+        dmode = (
+            Pair(dprobe.data[..., mode, :, :, :])
+            if isinstance(dprobe, Pair)
+            else dprobe[..., mode, :, :]
+        )
         (
             d,
             probe_options.v,
             probe_options.m,
-        ) = tike_tpu.opt.momentum_checked(
-            g=dprobe[..., mode, :, :],
-            v=probe_options.v,
-            m=probe_options.m,
+        ) = _moment_fn(
+            tike_tpu.opt.momentum_checked,
+            dmode,
+            probe_options.v,
+            probe_options.m,
             mdecay=probe_options.mdecay,
             errors=[float(x[0]) for x in algorithm_options.costs[-3:]],
             beta=bprb,
             memory_length=3,
         )
-        probe = probe.at[..., mode, :, :].add(d)
+        if isinstance(probe, Pair):
+            probe = Pair(
+                probe.data.at[..., mode, :, :, :].add(d.data)
+            )
+        else:
+            probe = probe.at[..., mode, :, :].add(d)
 
     parameters.scan = scan
     parameters.psi = psi

@@ -22,6 +22,7 @@ import numpy.typing as npt
 
 from tike_tpu.precision import cfloating, floating
 from tike_tpu.utils.transfer import to_host
+from tike_tpu.utils.pairs import download as pair_download, upload as pair_upload
 from ..exitwave import ExitWaveOptions
 from ..object import ObjectOptions
 from ..position import PositionOptions, check_allowed_positions
@@ -201,7 +202,7 @@ class PtychoParameters:
         """Copy arrays to device (optionally with a jax.sharding spec)."""
 
         def put(x, dtype):
-            arr = jnp.asarray(x, dtype=dtype)
+            arr = pair_upload(np.asarray(x).astype(dtype))
             if sharding is not None:
                 arr = jax.device_put(arr, sharding)
             return arr
@@ -233,10 +234,12 @@ class PtychoParameters:
 
     def copy_to_host(self) -> "PtychoParameters":
         return PtychoParameters(
-            probe=to_host(self.probe),
-            psi=to_host(self.psi),
+            probe=pair_download(self.probe),
+            psi=pair_download(self.psi),
             scan=to_host(self.scan),
-            eigen_probe=to_host(self.eigen_probe),
+            eigen_probe=pair_download(self.eigen_probe)
+            if self.eigen_probe is not None
+            else None,
             eigen_weights=to_host(self.eigen_weights),
             algorithm_options=self.algorithm_options,
             exitwave_options=self.exitwave_options.copy_to_host()

@@ -27,6 +27,7 @@ import numpy as np
 
 import tike_tpu.opt
 import tike_tpu.utils.transfer
+from tike_tpu.utils.pairs import Pair, pair_jit
 from tike_tpu.ops.objective import ELEMENTWISE, GRAD
 from tike_tpu.ops.patch import patch_adj, patch_fwd
 from tike_tpu.ops.propagation import fresnel_adj, propagation_adj
@@ -53,8 +54,7 @@ def _masked_mean_each_pattern(elem, pixel_mask):
     return jnp.sum(elem * w, axis=(-2, -1)) / jnp.sum(w)
 
 
-@functools.partial(
-    jax.jit,
+@pair_jit(
     static_argnames=(
         "cfg",
         "noise_model",
@@ -189,9 +189,7 @@ def _batch_gradients(
     return costs, psi_num, probe_num, eigen_delta
 
 
-@functools.partial(
-    jax.jit, static_argnames=("recover_psi", "recover_probe")
-)
+@pair_jit(static_argnames=("recover_psi", "recover_probe"))
 def _plain_update_program(
     psi,
     probe,
@@ -248,17 +246,17 @@ def _update(
             probe,
             psi_update_numerator
             if psi_update_numerator is not None
-            else jnp.zeros_like(psi),
+            else _zeros_like(psi),
             probe_update_numerator
             if probe_update_numerator is not None
-            else jnp.zeros((1, *probe.shape), probe.dtype),
+            else _zeros((1, *probe.shape), probe),
             object_options.preconditioner
             if object_options is not None
-            else jnp.ones_like(psi),
+            else _ones_like(psi),
             probe_options.preconditioner
             if probe_options is not None and recover_probe
-            else jnp.ones((1, *probe.shape[-2:]), probe.dtype),
-            jnp.asarray(alpha, psi.real.dtype),
+            else _ones((1, *probe.shape[-2:]), probe),
+            jnp.asarray(alpha, jnp.float32),
             recover_psi=object_options is not None,
             recover_probe=recover_probe,
         )
@@ -274,10 +272,11 @@ def _update(
                     dpsi,
                     object_options.v,
                     object_options.m,
-                ) = tike_tpu.opt.momentum_checked(
-                    g=dpsi,
-                    v=object_options.v,
-                    m=object_options.m,
+                ) = _moment_fn(
+                    tike_tpu.opt.momentum_checked,
+                    dpsi,
+                    object_options.v,
+                    object_options.m,
                     mdecay=object_options.mdecay,
                     errors=errors,
                     memory_length=3,
@@ -287,10 +286,11 @@ def _update(
                     dpsi,
                     object_options.v,
                     object_options.m,
-                ) = tike_tpu.opt.adam(
-                    g=dpsi,
-                    v=object_options.v,
-                    m=object_options.m,
+                ) = _moment_fn(
+                    tike_tpu.opt.adam,
+                    dpsi,
+                    object_options.v,
+                    object_options.m,
                     vdecay=object_options.vdecay,
                     mdecay=object_options.mdecay,
                 )
@@ -341,6 +341,51 @@ def _update(
 
 
 _jit_add = jax.jit(lambda a, b: jax.tree_util.tree_map(jnp.add, a, b))
+
+
+def _zeros_like(x):
+    return Pair(jnp.zeros_like(x.data)) if isinstance(x, Pair) else (
+        jnp.zeros_like(x)
+    )
+
+
+def _ones_like(x):
+    if isinstance(x, Pair):
+        ones = jnp.zeros_like(x.data).at[..., 0].set(1.0)
+        return Pair(ones)
+    return jnp.ones_like(x)
+
+
+def _zeros(shape, like):
+    if isinstance(like, Pair):
+        return Pair(jnp.zeros((*shape, 2), like.data.dtype))
+    return jnp.zeros(shape, like.dtype)
+
+
+def _ones(shape, like):
+    if isinstance(like, Pair):
+        ones = jnp.zeros((*shape, 2), like.data.dtype).at[..., 0].set(1.0)
+        return Pair(ones)
+    return jnp.ones(shape, like.dtype)
+
+
+def _moment_fn(fn, g, v, m, **kw):
+    """Apply an optimizer update pair-aware.
+
+    For Pair gradients the update runs on the underlying float pairs:
+    norms and real inner products are identical to the complex versions;
+    adam's second moment becomes per-real-component (a benign variant).
+    """
+    if isinstance(g, Pair):
+        d, v, m = fn(
+            g.data,
+            v.data if isinstance(v, Pair) else v,
+            m.data if isinstance(m, Pair) else m,
+            **kw,
+        )
+        wrap = lambda x: Pair(x) if x is not None and hasattr(x, "ndim") else x
+        return Pair(d), wrap(v), wrap(m)
+    return fn(g, v, m, **kw)
 
 
 def _normalize_eigen_weights(eigen_weights):
