@@ -27,8 +27,7 @@ from .options import PtychoParameters
 _jit_add = jax.jit(lambda a, b: jax.tree_util.tree_map(jnp.add, a, b))
 
 
-@pair_jit(static_argnames=("cfg",))
-def psi_preconditioner(cfg: PtychoConfig, psi, scan, probe, mask=None):
+def _psi_precond_math(cfg: PtychoConfig, psi, scan, probe, mask=None):
     """Return (D, H, W) sum of |illumination|^2 at each object pixel.
 
     `mask` (N,) optionally zeroes padded batch slots.
@@ -64,8 +63,7 @@ def psi_preconditioner(cfg: PtychoConfig, psi, scan, probe, mask=None):
     return jnp.stack(slices)
 
 
-@pair_jit(static_argnames=("cfg",))
-def probe_preconditioner(cfg: PtychoConfig, psi, scan, mask=None):
+def _probe_precond_math(cfg: PtychoConfig, psi, scan, mask=None):
     """Return (D, P, P) sum of |object patches|^2 per slice."""
     w = (
         jnp.ones(scan.shape[0], psi.real.dtype)
@@ -84,6 +82,18 @@ def probe_preconditioner(cfg: PtychoConfig, psi, scan, mask=None):
             )
         )
     return jnp.stack(slices)
+
+
+@pair_jit(static_argnames=("cfg",))
+def psi_preconditioner(cfg, psi, scan, probe, mask=None):
+    """Jitted wrapper around :func:`_psi_precond_math`."""
+    return _psi_precond_math(cfg, psi, scan, probe, mask)
+
+
+@pair_jit(static_argnames=("cfg",))
+def probe_preconditioner(cfg, psi, scan, mask=None):
+    """Jitted wrapper around :func:`_probe_precond_math`."""
+    return _probe_precond_math(cfg, psi, scan, mask)
 
 
 def update_preconditioners(
@@ -110,28 +120,65 @@ def update_preconditioners(
         return parameters
 
     batch_idx, batch_mask = batches
-    psi_pre = None
-    probe_pre = None
-    for n in range(batch_idx.shape[0]):
-        idx = jnp.asarray(batch_idx[n])
-        bmask = jnp.asarray(batch_mask[n])
-        scan_b = jnp.take(parameters.scan, idx, axis=0)
-        if parameters.object_options:
-            contrib = psi_preconditioner(
-                cfg, parameters.psi, scan_b, parameters.probe, bmask
-            )
-            psi_pre = (
-                contrib if psi_pre is None else _jit_add(psi_pre, contrib)
-            )
-        if parameters.probe_options:
-            contrib = probe_preconditioner(
-                cfg, parameters.psi, scan_b, bmask
-            )
-            probe_pre = (
-                contrib if probe_pre is None else _jit_add(probe_pre, contrib)
-            )
-    if parameters.object_options:
+    want_psi = parameters.object_options is not None
+    want_probe = parameters.probe_options is not None
+    psi_pre, probe_pre = _preconditioner_epoch_program(
+        cfg,
+        parameters.psi,
+        parameters.scan,
+        parameters.probe,
+        jnp.asarray(batch_idx),
+        jnp.asarray(batch_mask),
+        want_psi=want_psi,
+        want_probe=want_probe,
+    )
+    if want_psi:
         parameters.object_options.preconditioner = psi_pre
-    if parameters.probe_options:
+    if want_probe:
         parameters.probe_options.preconditioner = probe_pre
     return parameters
+
+
+@pair_jit(static_argnames=("cfg", "want_psi", "want_probe"))
+def _preconditioner_epoch_program(
+    cfg: PtychoConfig,
+    psi,
+    scan,
+    probe,
+    batch_idx,
+    batch_mask,
+    *,
+    want_psi: bool,
+    want_probe: bool,
+):
+    """Both preconditioners for the whole scan as one XLA program.
+
+    lax.scan over the padded batch slices; one dispatch instead of
+    2 * num_batch.
+    """
+    from tike_tpu.ops.patch import patch_adj, patch_fwd
+
+    nb = batch_idx.shape[0]
+
+    def body(carry, inp):
+        psi_pre, probe_pre = carry
+        idx, bmask = inp
+        scan_b = jnp.take(scan, idx, axis=0)
+        if want_psi:
+            psi_pre = psi_pre + _psi_precond_math(
+                cfg, psi, scan_b, probe, bmask
+            )
+        if want_probe:
+            probe_pre = probe_pre + _probe_precond_math(
+                cfg, psi, scan_b, bmask
+            )
+        return (psi_pre, probe_pre), None
+
+    psi_pre0 = jnp.zeros((cfg.nslices, cfg.nz, cfg.n), jnp.complex64)
+    probe_pre0 = jnp.zeros(
+        (cfg.nslices, cfg.probe_shape, cfg.probe_shape), jnp.complex64
+    )
+    (psi_pre, probe_pre), _ = jax.lax.scan(
+        body, (psi_pre0, probe_pre0), (batch_idx, batch_mask)
+    )
+    return psi_pre, probe_pre

@@ -54,15 +54,7 @@ def _masked_mean_each_pattern(elem, pixel_mask):
     return jnp.sum(elem * w, axis=(-2, -1)) / jnp.sum(w)
 
 
-@pair_jit(
-    static_argnames=(
-        "cfg",
-        "noise_model",
-        "steplength_usemodes",
-        "recover_probe",
-    ),
-)
-def _batch_gradients(
+def _batch_gradients_math(
     cfg: PtychoConfig,
     data_b,
     scan,
@@ -187,6 +179,131 @@ def _batch_gradients(
         )
 
     return costs, psi_num, probe_num, eigen_delta
+
+
+@pair_jit(
+    static_argnames=(
+        "cfg",
+        "noise_model",
+        "steplength_usemodes",
+        "recover_probe",
+    ),
+)
+def _batch_gradients(*args, **kwargs):
+    """Jitted single-batch gradients (see :func:`_batch_gradients_math`)."""
+    return _batch_gradients_math(*args, **kwargs)
+
+
+@pair_jit(
+    static_argnames=(
+        "cfg",
+        "noise_model",
+        "steplength_usemodes",
+        "recover_probe",
+        "recover_psi",
+        "compact",
+    ),
+)
+def _rpie_epoch_program(
+    cfg: PtychoConfig,
+    data,            # (nb, L, DET, DET) batch-major
+    scan,            # (N, 2)
+    batch_idx,       # (nb, L) int32
+    batch_mask,      # (nb, L) f32
+    order,           # (nb,) int32 batch visit order
+    psi,
+    probe,
+    eigen_probe,
+    eigen_weights,
+    measured_pixels,
+    psi_precond,
+    probe_precond,
+    alpha,
+    step_length_start,
+    step_length_weight,
+    unmeasured_pixels_scaling,
+    *,
+    noise_model: str,
+    steplength_usemodes: str,
+    recover_psi: bool,
+    recover_probe: bool,
+    compact: bool,
+):
+    """One full rPIE epoch as a single XLA program.
+
+    A `lax.scan` over mini-batches replaces the per-batch Python loop: on
+    latency-bound backends (the tunneled dev TPU, multi-host meshes) this
+    collapses several programs per batch into one dispatch per epoch.
+    Equivalent to the reference epoch loop (`rpie.py:106-186`) for the
+    non-adaptive-moment paths; adaptive moments use the Python loop.
+    """
+    nb = data.shape[0]
+    has_eigen = eigen_weights is not None
+
+    def batch_step(carry, i):
+        psi_c, probe_c, eigen_w, psi_acc, probe_acc = carry
+        n = order[i]
+        data_b = data[n]
+        idx = batch_idx[n]
+        bmask = batch_mask[n]
+        costs, psi_num, probe_num, eigen_delta = _batch_gradients_math(
+            cfg,
+            data_b,
+            scan,
+            idx,
+            bmask,
+            psi_c,
+            probe_c,
+            eigen_probe,
+            eigen_w,
+            measured_pixels,
+            step_length_start,
+            step_length_weight,
+            unmeasured_pixels_scaling,
+            noise_model=noise_model,
+            steplength_usemodes=steplength_usemodes,
+            recover_probe=recover_probe,
+        )
+        if has_eigen and eigen_delta is not None:
+            eigen_w = eigen_w.at[idx, 0, 0].add(eigen_delta)
+        if compact:
+            psi_acc = psi_acc + psi_num
+            probe_acc = probe_acc + probe_num
+        else:
+            if recover_psi:
+                deno = (1 - alpha) * psi_precond + alpha * jnp.abs(
+                    psi_precond
+                ).max(axis=(-2, -1), keepdims=True)
+                psi_c = psi_c + psi_num / deno
+            if recover_probe:
+                ppre = jnp.abs(probe_precond[0])
+                pdeno = (1 - alpha) * ppre + alpha * ppre.max()
+                probe_c = probe_c + probe_num[0] / pdeno
+        cost = jnp.sum(costs * bmask) / jnp.maximum(jnp.sum(bmask), 1)
+        return (psi_c, probe_c, eigen_w, psi_acc, probe_acc), (n, cost)
+
+    psi_acc0 = jnp.zeros_like(psi)
+    probe_acc0 = jnp.zeros((psi.shape[0], *probe.shape), probe.dtype)
+    (psi, probe, eigen_weights, psi_acc, probe_acc), (ns, costs) = (
+        jax.lax.scan(
+            batch_step,
+            (psi, probe, eigen_weights, psi_acc0, probe_acc0),
+            jnp.arange(nb),
+        )
+    )
+    if compact:
+        if recover_psi:
+            deno = (1 - alpha) * psi_precond + alpha * jnp.abs(
+                psi_precond
+            ).max(axis=(-2, -1), keepdims=True)
+            psi = psi + psi_acc / deno
+        if recover_probe:
+            ppre = jnp.abs(probe_precond[0])
+            pdeno = (1 - alpha) * ppre + alpha * ppre.max()
+            probe = probe + probe_acc[0] / pdeno
+    # Unpermute per-batch costs to batch order.
+    costs_by_batch = jnp.zeros(nb, costs.dtype).at[ns].set(costs)
+    return psi, probe, eigen_weights, costs_by_batch
 
 
 @pair_jit(static_argnames=("recover_psi", "recover_probe"))
@@ -425,10 +542,60 @@ def rpie(
 
     batch_idx, batch_mask = batches
     num_batch = batch_idx.shape[0]
-    if algorithm_options.batch_method == "compact":
+    compact = algorithm_options.batch_method == "compact"
+    if compact:
         order = np.arange(num_batch)
     else:
         order = rng.permutation(num_batch)
+
+    use_moments = (
+        object_options is not None and object_options.use_adaptive_moment
+    ) or (
+        recover_probe
+        and probe_options is not None
+        and probe_options.use_adaptive_moment
+    )
+    # Fast path: the whole epoch as one XLA program (device-resident
+    # batch-major data, no host-side adaptive-moment control flow).
+    if not use_moments and not isinstance(data, np.ndarray) and data.ndim == 4:
+        psi, probe, eigen_weights, costs_by_batch = _rpie_epoch_program(
+            op,
+            data,
+            scan,
+            jnp.asarray(batch_idx),
+            jnp.asarray(batch_mask),
+            jnp.asarray(order.astype(np.int32)),
+            psi,
+            probe,
+            eigen_probe,
+            eigen_weights,
+            exitwave_options.measured_pixels,
+            object_options.preconditioner
+            if object_options is not None
+            else _ones_like(psi),
+            probe_options.preconditioner
+            if probe_options is not None and recover_probe
+            else _ones((1, *probe.shape[-2:]), probe),
+            jnp.asarray(algorithm_options.alpha, jnp.float32),
+            exitwave_options.step_length_start,
+            exitwave_options.step_length_weight,
+            exitwave_options.unmeasured_pixels_scaling,
+            noise_model=exitwave_options.noise_model,
+            steplength_usemodes=exitwave_options.step_length_usemodes,
+            recover_psi=object_options is not None,
+            recover_probe=recover_probe,
+            compact=compact,
+        )
+        costs_host = tike_tpu.utils.transfer.to_host(costs_by_batch)
+        algorithm_options.costs.append([float(np.mean(costs_host))])
+        if eigen_weights is not None:
+            eigen_weights = _normalize_eigen_weights(eigen_weights)
+        parameters.scan = scan
+        parameters.psi = psi
+        parameters.probe = probe
+        parameters.eigen_weights = eigen_weights
+        parameters.eigen_probe = eigen_probe
+        return parameters
 
     psi_update_numerator = None
     probe_update_numerator = None
