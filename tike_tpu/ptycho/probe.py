@@ -428,8 +428,7 @@ def init_varying_probe(
     return eigen_probe, weights
 
 
-@jax.jit
-def _orthogonalize_eig_program(x):
+def _orthogonalize_eig_body(x):
     """Device-side eigen orthogonalization + power-descending sort."""
     nmodes = x.shape[-3]
     flat = x.reshape(*x.shape[:-2], -1)
@@ -447,6 +446,9 @@ def _orthogonalize_eig_program(x):
         perm @ flat_modes.real + 1j * (perm @ flat_modes.imag)
     ).astype(result.dtype)
     return sorted_modes.reshape(x.shape), pwr.reshape(-1)[order]
+
+
+_orthogonalize_eig_program = jax.jit(_orthogonalize_eig_body)
 
 
 def orthogonalize_eig(x):

@@ -14,6 +14,7 @@ Differences from the reference driver:
 from __future__ import annotations
 
 import copy
+import dataclasses
 import logging
 import time
 import typing
@@ -259,8 +260,140 @@ class Reconstruction:
             )
         return self
 
+    def _fused_eligible(self) -> bool:
+        """Whether iterate() can run as one fused multi-epoch program."""
+        p = self.parameters
+        return (
+            p.algorithm_options.name == "rpie"
+            and p.position_options is None
+            and not isinstance(self.data, np.ndarray)
+            and getattr(self.data, "ndim", 0) == 4
+            and p.algorithm_options.rescale_method == "mean_of_abs_object"
+            and p.algorithm_options.time_limit == np.inf
+            and not (
+                p.object_options is not None
+                and p.object_options.use_adaptive_moment
+            )
+            and not (
+                p.probe_options is not None
+                and p.probe_options.use_adaptive_moment
+            )
+        )
+
+    def _iterate_fused(self, num_iter: int) -> None:
+        """Run num_iter epochs as a single XLA program (see solvers.fused)."""
+        from .solvers.fused import EpochPlan, rpie_iterate_program
+
+        p = self.parameters
+        popts = p.probe_options
+        oopts = p.object_options
+        ew = p.exitwave_options
+        algo = p.algorithm_options
+        total_epochs0 = len(algo.times)
+        compact = algo.batch_method == "compact"
+        batch_idx, batch_mask = self.batches
+        nb = batch_idx.shape[0]
+        plan = EpochPlan(
+            cfg=self.operator,
+            n_epochs=num_iter,
+            compact=compact,
+            noise_model=ew.noise_model,
+            steplength_usemodes=ew.step_length_usemodes,
+            recover_psi=oopts is not None,
+            recover_probe=popts is not None,
+            has_eigen=p.eigen_weights is not None,
+            update_start=popts.update_start if popts else 0,
+            update_period=popts.update_period if popts else 1,
+            probe_support=popts.probe_support if popts else 0.0,
+            probe_support_radius=(
+                popts.probe_support_radius if popts else 0.35
+            ),
+            probe_support_degree=(
+                popts.probe_support_degree if popts else 2.5
+            ),
+            additional_probe_penalty=(
+                popts.additional_probe_penalty if popts else 0.0
+            ),
+            median_filter=(
+                popts.median_filter_abs_probe if popts else False
+            ),
+            median_filter_px=(
+                tuple(popts.median_filter_abs_probe_px)
+                if popts
+                else (1.0, 1.0)
+            ),
+            force_center=(
+                popts.force_centered_intensity if popts else False
+            ),
+            force_sparsity=popts.force_sparsity if popts else 0.0,
+            force_orthogonality=(
+                popts.force_orthogonality if popts else False
+            ),
+            positivity=float(oopts.positivity_constraint) if oopts else 0.0,
+            smoothness=float(oopts.smoothness_constraint) if oopts else 0.0,
+            clip_magnitude=bool(oopts.clip_magnitude) if oopts else False,
+            rescale_mean_abs=oopts is not None,
+            rescale_period=algo.rescale_period,
+            costs_len0=len(algo.costs),
+            alpha=float(getattr(algo, "alpha", 0.05)),
+        )
+        # The fused program offsets epochs internally from 0; shift the
+        # schedule thresholds by the epochs already completed.
+        plan = dataclasses.replace(
+            plan,
+            update_start=max(
+                0, (popts.update_start if popts else 0) - total_epochs0
+            ),
+        )
+        if compact:
+            orders = np.tile(np.arange(nb, dtype=np.int32), (num_iter, 1))
+        else:
+            orders = np.stack(
+                [
+                    self._rng.permutation(nb).astype(np.int32)
+                    for _ in range(num_iter)
+                ]
+            )
+        start = time.perf_counter()
+        psi, probe, eigen_weights, costs, powers = rpie_iterate_program(
+            plan,
+            self.data,
+            p.scan,
+            jnp.asarray(batch_idx),
+            jnp.asarray(batch_mask),
+            jnp.asarray(orders),
+            p.psi,
+            p.probe,
+            p.eigen_probe,
+            p.eigen_weights,
+            ew.measured_pixels,
+            ew.step_length_start,
+            ew.step_length_weight,
+            ew.unmeasured_pixels_scaling,
+        )
+        jax.block_until_ready(psi)
+        elapsed = time.perf_counter() - start
+        p.psi = psi
+        p.probe = probe
+        p.eigen_weights = eigen_weights
+        costs_host = to_host(costs)
+        powers_host = to_host(powers)
+        for e in range(num_iter):
+            algo.costs.append([float(np.mean(costs_host[e]))])
+            algo.times.append(elapsed / num_iter)
+            if popts is not None:
+                popts.power.append(powers_host[e])
+        logger.info(
+            "%10s cost is %+1.3e (fused %d epochs)",
+            ew.noise_model,
+            float(np.mean(costs_host[-1])),
+            num_iter,
+        )
+
     def iterate(self, num_iter: int) -> None:
         """Advance the reconstruction by num_iter epochs."""
+        if num_iter > 0 and self._fused_eligible():
+            return self._iterate_fused(num_iter)
         start = time.perf_counter()
         for _ in range(num_iter):
             if (

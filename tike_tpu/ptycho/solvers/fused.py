@@ -1,0 +1,275 @@
+"""Fully-fused multi-epoch rPIE: the entire iterate() as one XLA program.
+
+On latency-bound backends (the tunneled dev TPU; multi-host meshes) each
+host-device round trip costs tens of milliseconds, so the per-epoch sequence
+[probe constraints -> preconditioners -> mini-batches -> object constraints]
+is folded into a single program scanning over epochs. Cost and probe-power
+histories accumulate on-device and are downloaded once at the end.
+
+Supported configuration (the driver falls back to the per-epoch path
+otherwise): rpie solver, no position correction, no adaptive moments,
+device-resident batch-major data, 'mean_of_abs_object' or no rescaling.
+Epoch-dependent behavior (probe update gating, periodic rescale) uses traced
+predicates with `jnp.where` blends, matching the reference's host control
+flow (`ptycho/ptycho.py:431-564`) exactly for these paths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+import tike_tpu.linalg
+from tike_tpu.ops.ptycho import PtychoConfig
+from tike_tpu.utils.pairs import pair_jit
+
+from .. import probe as probe_module
+from .. import object as object_module
+from ._preconditioner import _probe_precond_math, _psi_precond_math
+from .rpie import _batch_gradients_math
+
+
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class EpochPlan:
+    """All static configuration for a fused multi-epoch run."""
+
+    cfg: PtychoConfig
+    n_epochs: int
+    compact: bool
+    noise_model: str
+    steplength_usemodes: str
+    recover_psi: bool
+    recover_probe: bool
+    has_eigen: bool
+    # probe update schedule
+    update_start: int
+    update_period: int
+    # probe constraints
+    probe_support: float
+    probe_support_radius: float
+    probe_support_degree: float
+    additional_probe_penalty: float
+    median_filter: bool
+    median_filter_px: tuple
+    force_center: bool
+    force_sparsity: float
+    force_orthogonality: bool
+    # object constraints
+    positivity: float
+    smoothness: float
+    clip_magnitude: bool
+    # rescale
+    rescale_mean_abs: bool
+    rescale_period: int
+    costs_len0: int
+    alpha: float
+
+
+def _probe_constraints_math(plan: EpochPlan, probe):
+    """The reference's per-epoch probe constraints (`ptycho.py:723-810`)."""
+    if plan.probe_support > 0:
+        b0 = probe_module.finite_probe_support(
+            probe,
+            p=plan.probe_support,
+            radius=plan.probe_support_radius,
+            degree=plan.probe_support_degree,
+        )
+        probe = probe - b0 * jnp.conj(b0 * probe)
+    if plan.additional_probe_penalty > 0:
+        b1 = (
+            plan.additional_probe_penalty
+            * jnp.linspace(0, 1, probe.shape[-3], dtype=jnp.float32)[
+                ..., None, None
+            ]
+        )
+        probe = probe - b1 * jnp.conj(b1 * probe)
+    if plan.median_filter:
+        probe = probe_module.apply_median_filter_abs_probe(
+            probe, med_filt_px=plan.median_filter_px
+        )
+    if plan.force_center:
+        probe = probe_module.constrain_center_peak(probe)
+    if plan.force_sparsity < 1:
+        probe = probe_module.constrain_probe_sparsity(
+            probe, f=plan.force_sparsity
+        )
+    if plan.force_orthogonality:
+        probe, pwr = probe_module._orthogonalize_eig_body(probe)
+    else:
+        pwr = jnp.sum(
+            (probe * jnp.conj(probe)).real, axis=(-2, -1)
+        ).reshape(-1)
+    return probe, pwr
+
+
+@pair_jit(static_argnames=("plan",))
+def rpie_iterate_program(
+    plan: EpochPlan,
+    data,          # (nb, L, DET, DET)
+    scan,          # (N, 2)
+    batch_idx,     # (nb, L) int32
+    batch_mask,    # (nb, L) f32
+    orders,        # (E, nb) int32 per-epoch batch orders
+    psi,
+    probe,
+    eigen_probe,
+    eigen_weights,
+    measured_pixels,
+    step_length_start,
+    step_length_weight,
+    unmeasured_pixels_scaling,
+):
+    """Run ``plan.n_epochs`` full rPIE epochs in one XLA program.
+
+    Returns (psi, probe, eigen_weights, costs (E, nb), powers (E, modes)).
+    """
+    cfg = plan.cfg
+    nb = batch_idx.shape[0]
+    alpha = jnp.asarray(plan.alpha, jnp.float32)
+
+    def epoch_body(carry, e):
+        psi, probe, eigen_w = carry
+
+        recover_now = jnp.logical_and(
+            e >= plan.update_start, (e % plan.update_period) == 0
+        )
+        if plan.recover_probe:
+            constrained, pwr = _probe_constraints_math(plan, probe)
+            probe = jnp.where(recover_now, constrained, probe)
+        else:
+            pwr = jnp.sum(
+                (probe * jnp.conj(probe)).real, axis=(-2, -1)
+            ).reshape(-1)
+
+        # Preconditioners over all batches.
+        def pre_body(carry2, inp):
+            psi_pre, probe_pre = carry2
+            idx, bmask = inp
+            scan_b = jnp.take(scan, idx, axis=0)
+            if plan.recover_psi:
+                psi_pre = psi_pre + _psi_precond_math(
+                    cfg, psi, scan_b, probe, bmask
+                )
+            if plan.recover_probe:
+                probe_pre = probe_pre + _probe_precond_math(
+                    cfg, psi, scan_b, bmask
+                )
+            return (psi_pre, probe_pre), None
+
+        psi_pre0 = jnp.zeros((cfg.nslices, cfg.nz, cfg.n), jnp.complex64)
+        probe_pre0 = jnp.zeros(
+            (cfg.nslices, cfg.probe_shape, cfg.probe_shape), jnp.complex64
+        )
+        (psi_pre, probe_pre), _ = jax.lax.scan(
+            pre_body, (psi_pre0, probe_pre0), (batch_idx, batch_mask)
+        )
+
+        # Mini-batch sweep.
+        order = orders[e]
+        gate = recover_now.astype(jnp.float32)
+
+        def batch_step(carry2, i):
+            psi_c, probe_c, eigen_w2, psi_acc, probe_acc = carry2
+            n = order[i]
+            costs, psi_num, probe_num, eigen_delta = _batch_gradients_math(
+                cfg,
+                data[n],
+                scan,
+                batch_idx[n],
+                batch_mask[n],
+                psi_c,
+                probe_c,
+                eigen_probe,
+                eigen_w2,
+                measured_pixels,
+                step_length_start,
+                step_length_weight,
+                unmeasured_pixels_scaling,
+                noise_model=plan.noise_model,
+                steplength_usemodes=plan.steplength_usemodes,
+                recover_probe=plan.recover_probe,
+            )
+            if plan.has_eigen and eigen_delta is not None:
+                eigen_w2 = eigen_w2.at[batch_idx[n], 0, 0].add(
+                    eigen_delta * gate
+                )
+            if plan.compact:
+                psi_acc = psi_acc + psi_num
+                probe_acc = probe_acc + probe_num
+            else:
+                if plan.recover_psi:
+                    deno = (1 - alpha) * psi_pre + alpha * jnp.abs(
+                        psi_pre
+                    ).max(axis=(-2, -1), keepdims=True)
+                    psi_c = psi_c + psi_num / deno
+                if plan.recover_probe:
+                    ppre = jnp.abs(probe_pre[0])
+                    pdeno = (1 - alpha) * ppre + alpha * ppre.max()
+                    probe_c = probe_c + gate * probe_num[0] / pdeno
+            cost = jnp.sum(costs * batch_mask[n]) / jnp.maximum(
+                jnp.sum(batch_mask[n]), 1
+            )
+            return (psi_c, probe_c, eigen_w2, psi_acc, probe_acc), (n, cost)
+
+        psi_acc0 = jnp.zeros_like(psi)
+        probe_acc0 = jnp.zeros((psi.shape[0], *probe.shape), probe.dtype)
+        (psi, probe, eigen_w, psi_acc, probe_acc), (ns, costs) = (
+            jax.lax.scan(
+                batch_step,
+                (psi, probe, eigen_w, psi_acc0, probe_acc0),
+                jnp.arange(nb),
+            )
+        )
+        if plan.compact:
+            if plan.recover_psi:
+                deno = (1 - alpha) * psi_pre + alpha * jnp.abs(psi_pre).max(
+                    axis=(-2, -1), keepdims=True
+                )
+                psi = psi + psi_acc / deno
+            if plan.recover_probe:
+                ppre = jnp.abs(probe_pre[0])
+                pdeno = (1 - alpha) * ppre + alpha * ppre.max()
+                probe = probe + gate * probe_acc[0] / pdeno
+
+        if plan.has_eigen:
+            eigen_w = eigen_w / tike_tpu.linalg.mnorm(
+                eigen_w, axis=-3, keepdims=True
+            )
+
+        # Object constraints (`ptycho.py:812-853`).
+        if plan.recover_psi:
+            if plan.positivity:
+                psi = object_module.positivity_constraint(
+                    psi, r=plan.positivity
+                )
+            if plan.smoothness:
+                psi = object_module.smoothness_constraint(
+                    psi, a=plan.smoothness
+                )
+            if plan.clip_magnitude:
+                psi = object_module.clip_magnitude(psi, a_max=1.0)
+            if plan.rescale_mean_abs:
+                do_rescale = (
+                    (plan.costs_len0 + e + 1) % plan.rescale_period
+                ) == 0
+                W = psi_pre.real
+                W = W / tike_tpu.linalg.mnorm(W)
+                object_norm = 2 * jnp.sqrt(
+                    jnp.mean(jnp.square(jnp.abs(psi)) * W)
+                )
+                scale = jnp.where(do_rescale, object_norm, 1.0)
+                psi = psi / scale
+                probe = probe * scale
+
+        costs_by_batch = jnp.zeros(nb, costs.dtype).at[ns].set(costs)
+        return (psi, probe, eigen_w), (costs_by_batch, pwr)
+
+    (psi, probe, eigen_weights), (all_costs, all_powers) = jax.lax.scan(
+        epoch_body,
+        (psi, probe, eigen_weights),
+        jnp.arange(plan.n_epochs),
+    )
+    return psi, probe, eigen_weights, all_costs, all_powers
