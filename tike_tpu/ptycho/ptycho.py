@@ -334,16 +334,7 @@ class Reconstruction:
             clip_magnitude=bool(oopts.clip_magnitude) if oopts else False,
             rescale_mean_abs=oopts is not None,
             rescale_period=algo.rescale_period,
-            costs_len0=len(algo.costs),
             alpha=float(getattr(algo, "alpha", 0.05)),
-        )
-        # The fused program offsets epochs internally from 0; shift the
-        # schedule thresholds by the epochs already completed.
-        plan = dataclasses.replace(
-            plan,
-            update_start=max(
-                0, (popts.update_start if popts else 0) - total_epochs0
-            ),
         )
         if compact:
             orders = np.tile(np.arange(nb, dtype=np.int32), (num_iter, 1))
@@ -357,6 +348,7 @@ class Reconstruction:
         start = time.perf_counter()
         psi, probe, eigen_weights, costs, powers = rpie_iterate_program(
             plan,
+            jnp.asarray(total_epochs0, jnp.int32),
             self.data,
             p.scan,
             jnp.asarray(batch_idx),

@@ -64,7 +64,6 @@ class EpochPlan:
     # rescale
     rescale_mean_abs: bool
     rescale_period: int
-    costs_len0: int
     alpha: float
 
 
@@ -108,6 +107,7 @@ def _probe_constraints_math(plan: EpochPlan, probe):
 @pair_jit(static_argnames=("plan",))
 def rpie_iterate_program(
     plan: EpochPlan,
+    epoch0,        # () int32: number of epochs already completed
     data,          # (nb, L, DET, DET)
     scan,          # (N, 2)
     batch_idx,     # (nb, L) int32
@@ -133,8 +133,10 @@ def rpie_iterate_program(
     def epoch_body(carry, e):
         psi, probe, eigen_w = carry
 
+        total_e = epoch0 + e
         recover_now = jnp.logical_and(
-            e >= plan.update_start, (e % plan.update_period) == 0
+            total_e >= plan.update_start,
+            (total_e % plan.update_period) == 0,
         )
         if plan.recover_probe:
             constrained, pwr = _probe_constraints_math(plan, probe)
@@ -253,7 +255,7 @@ def rpie_iterate_program(
                 psi = object_module.clip_magnitude(psi, a_max=1.0)
             if plan.rescale_mean_abs:
                 do_rescale = (
-                    (plan.costs_len0 + e + 1) % plan.rescale_period
+                    (epoch0 + e + 1) % plan.rescale_period
                 ) == 0
                 W = psi_pre.real
                 W = W / tike_tpu.linalg.mnorm(W)
