@@ -30,22 +30,24 @@ import jax.numpy as jnp
 
 
 def _c2f(x):
-    """View complex as trailing-axis (re, im) float pairs.
+    """View complex as leading-axis (re, im) float pairs.
 
     TPU gathers/dynamic-slices on complex dtypes are unsupported on some
     backends (and slower even where supported); all windowed gathers and
-    scatters below run on float pairs and recombine at the end. Real inputs
-    pass through unchanged.
+    scatters below run on float pairs and recombine at the end. The channel
+    axis leads (2, ...) so the minor two dims stay large and tile-aligned —
+    a trailing channel of 2 would be padded to 128 lanes by the TPU layout,
+    a 64x memory blowup. Real inputs pass through unchanged.
     """
     if jnp.iscomplexobj(x):
-        return jnp.stack([x.real, x.imag], axis=-1)
-    return x[..., None]
+        return jnp.stack([x.real, x.imag], axis=0)
+    return x[None]
 
 
 def _f2c(x, dtype):
     if jnp.issubdtype(dtype, jnp.complexfloating):
-        return jax.lax.complex(x[..., 0], x[..., 1]).astype(dtype)
-    return x[..., 0].astype(dtype)
+        return jax.lax.complex(x[0], x[1]).astype(dtype)
+    return x[0].astype(dtype)
 
 
 def _split_positions(positions):
@@ -73,36 +75,37 @@ def patch_fwd(
     patches : (N, P, P) complex
     """
     corner, frac = _split_positions(positions)
-    fy = frac[:, 0][:, None, None, None]
-    fx = frac[:, 1][:, None, None, None]
-    imf = _c2f(images)  # (H, W, C)
-    nch = imf.shape[-1]
+    fy = frac[:, None, 0][:, :, None, None]
+    fx = frac[:, None, 1][:, :, None, None]
+    imf = _c2f(images)  # (C, H, W)
+    nch = imf.shape[0]
 
     def one_window(c):
         return jax.lax.dynamic_slice(
-            imf, (c[0], c[1], 0), (patch_width + 1, patch_width + 1, nch)
+            imf, (0, c[0], c[1]), (nch, patch_width + 1, patch_width + 1)
         )
 
-    win = jax.vmap(one_window)(corner)  # (N, P+1, P+1, C)
+    win = jax.vmap(one_window)(corner)  # (N, C, P+1, P+1)
     out = (
-        (1 - fy) * (1 - fx) * win[:, :-1, :-1]
-        + (1 - fy) * fx * win[:, :-1, 1:]
-        + fy * (1 - fx) * win[:, 1:, :-1]
-        + fy * fx * win[:, 1:, 1:]
+        (1 - fy) * (1 - fx) * win[:, :, :-1, :-1]
+        + (1 - fy) * fx * win[:, :, :-1, 1:]
+        + fy * (1 - fx) * win[:, :, 1:, :-1]
+        + fy * fx * win[:, :, 1:, 1:]
     )
-    return _f2c(out, images.dtype)
+    # (N, C, P, P) -> complex (N, P, P)
+    return _f2c(jnp.moveaxis(out, 1, 0), images.dtype)
 
 
 def _spread_windows_f(patches_f: jax.Array, frac: jax.Array) -> jax.Array:
-    """Spread (N, P, P, C) float patches into (N, P+1, P+1, C) windows."""
-    n, p, _, c = patches_f.shape
-    fy = frac[:, 0][:, None, None, None]
-    fx = frac[:, 1][:, None, None, None]
-    win = jnp.zeros((n, p + 1, p + 1, c), dtype=patches_f.dtype)
-    win = win.at[:, :-1, :-1].add((1 - fy) * (1 - fx) * patches_f)
-    win = win.at[:, :-1, 1:].add((1 - fy) * fx * patches_f)
-    win = win.at[:, 1:, :-1].add(fy * (1 - fx) * patches_f)
-    win = win.at[:, 1:, 1:].add(fy * fx * patches_f)
+    """Spread (N, C, P, P) float patches into (N, C, P+1, P+1) windows."""
+    n, c, p, _ = patches_f.shape
+    fy = frac[:, None, 0][:, :, None, None]
+    fx = frac[:, None, 1][:, :, None, None]
+    win = jnp.zeros((n, c, p + 1, p + 1), dtype=patches_f.dtype)
+    win = win.at[:, :, :-1, :-1].add((1 - fy) * (1 - fx) * patches_f)
+    win = win.at[:, :, :-1, 1:].add((1 - fy) * fx * patches_f)
+    win = win.at[:, :, 1:, :-1].add(fy * (1 - fx) * patches_f)
+    win = win.at[:, :, 1:, 1:].add(fy * fx * patches_f)
     return win
 
 
@@ -120,9 +123,9 @@ def patch_adj_scatter(
     h, w = images_shape
     n, p, _ = patches.shape
     corner, frac = _split_positions(positions)
-    pf = _c2f(patches)
-    win = _spread_windows_f(pf, frac)  # (N, P+1, P+1, C)
-    nch = win.shape[-1]
+    pf = jnp.moveaxis(_c2f(patches), 0, 1)  # (N, C, P, P)
+    win = _spread_windows_f(pf, frac)  # (N, C, P+1, P+1)
+    nch = win.shape[1]
 
     span = jnp.arange(p + 1, dtype=jnp.int32)
     rows = corner[:, 0:1] + span[None, :]  # (N, P+1)
@@ -130,13 +133,15 @@ def patch_adj_scatter(
     flat = (rows[:, :, None] * w + cols[:, None, :]).reshape(-1)
 
     if images is None:
-        acc = jnp.zeros((h * w, nch), dtype=pf.dtype)
+        acc = jnp.zeros((nch, h * w), dtype=pf.dtype)
     else:
-        acc = _c2f(images).reshape(h * w, nch)
-    acc = acc.at[flat].add(
-        win.reshape(-1, nch), mode="drop", unique_indices=False
+        acc = _c2f(images).reshape(nch, h * w)
+    acc = acc.at[:, flat].add(
+        jnp.moveaxis(win, 1, 0).reshape(nch, -1),
+        mode="drop",
+        unique_indices=False,
     )
-    return _f2c(acc.reshape(h, w, nch), patches.dtype)
+    return _f2c(acc.reshape(nch, h, w), patches.dtype)
 
 
 def patch_adj(
@@ -147,11 +152,21 @@ def patch_adj(
 ) -> jax.Array:
     """Adjoint of :func:`patch_fwd`: accumulate patches into an image.
 
-    Implemented as a `lax.scan` of per-position window read-modify-writes
-    (dynamic_slice + add + dynamic_update_slice): N sequential steps of
-    (P+1)^2 *vector* adds, instead of one scatter whose colliding indices
-    TPUs serialize per *element*. Overlapping windows are handled exactly
-    because the accumulation is sequential.
+    TPU-tuned formulation. A naive scatter-add serializes colliding indices
+    per *element*; a scan of window read-modify-writes at arbitrary offsets
+    forces XLA to copy the full accumulator every step (lane-unaligned
+    ``dynamic_update_slice`` cannot update in place). Instead each patch is
+    first rendered into a tile whose corner is (8, 128)-aligned:
+
+    1. the residual offset (corner mod (8, 128)) *and* the bilinear
+       fractional shift are applied with vmapped ``dynamic_slice`` gathers
+       from a zero-padded buffer (the same batched-gather shape as
+       :func:`patch_fwd`, which is effectively free), and
+    2. a `lax.scan` of dynamic_update_slices at *aligned* offsets
+       accumulates the tiles — XLA performs these in place.
+
+    Overlapping windows are handled exactly because the accumulation is
+    sequential.
 
     Parameters
     ----------
@@ -163,29 +178,61 @@ def patch_adj(
     h, w = images_shape
     n, p, _ = patches.shape
     corner, frac = _split_positions(positions)
-    pf = _c2f(patches)
-    win = _spread_windows_f(pf, frac)  # (N, P+1, P+1, C)
-    nch = win.shape[-1]
+    pf = jnp.moveaxis(_c2f(patches), 0, 1)  # (N, C, P, P)
+    nch = pf.shape[1]
+    fy = frac[:, None, 0][:, :, None, None]  # (N, 1, 1, 1)
+    fx = frac[:, None, 1][:, :, None, None]
 
+    SUB, LANE = 8, 128
+    ry = corner[:, 0] % SUB
+    rx = corner[:, 1] % LANE
+    cy = corner[:, 0] - ry  # aligned tile corners
+    cx = corner[:, 1] - rx
+    # Tile must hold rows [ry, ry + p + 1) for ry <= SUB - 1 (and same in x),
+    # rounded up to the native (8, 128) tiling.
+    th = -(-(p + SUB) // SUB) * SUB
+    tw = -(-(p + LANE) // LANE) * LANE
+
+    # Shift rows by ry (blend with ry+1): gather a th-row slice from a
+    # padded buffer so that content lands at output row s + k.
+    pady = jnp.pad(pf, ((0, 0), (0, 0), (SUB, th - p), (0, 0)))
+
+    def shift_rows(a, s):
+        return jax.lax.dynamic_slice(
+            a, (0, SUB - s, 0), (nch, th, a.shape[-1])
+        )
+
+    ty = (1 - fy) * jax.vmap(shift_rows)(pady, ry) + fy * jax.vmap(
+        shift_rows
+    )(pady, ry + 1)  # (N, C, th, P)
+
+    padx = jnp.pad(ty, ((0, 0), (0, 0), (0, 0), (LANE, tw - p)))
+
+    def shift_cols(a, s):
+        return jax.lax.dynamic_slice(a, (0, 0, LANE - s), (nch, th, tw))
+
+    tiles = (1 - fx) * jax.vmap(shift_cols)(padx, rx) + fx * jax.vmap(
+        shift_cols
+    )(padx, rx + 1)  # (N, C, th, tw)
+
+    # Accumulate tiles at aligned offsets into a padded accumulator.
+    hp = -(-h // SUB) * SUB + th
+    wp = -(-w // LANE) * LANE + tw
     if images is None:
-        acc0 = jnp.zeros((h, w, nch), dtype=pf.dtype)
+        acc0 = jnp.zeros((nch, hp, wp), dtype=pf.dtype)
     else:
-        acc0 = _c2f(images)
+        acc0 = jnp.pad(_c2f(images), ((0, 0), (0, hp - h), (0, wp - w)))
 
     def body(acc, inp):
-        window, c = inp
-        cur = jax.lax.dynamic_slice(
-            acc, (c[0], c[1], 0), (p + 1, p + 1, nch)
-        )
+        tile, y0, x0 = inp
+        cur = jax.lax.dynamic_slice(acc, (0, y0, x0), (nch, th, tw))
         return (
-            jax.lax.dynamic_update_slice(
-                acc, cur + window, (c[0], c[1], 0)
-            ),
+            jax.lax.dynamic_update_slice(acc, cur + tile, (0, y0, x0)),
             None,
         )
 
-    acc, _ = jax.lax.scan(body, acc0, (win, corner))
-    return _f2c(acc, patches.dtype)
+    acc, _ = jax.lax.scan(body, acc0, (tiles, cy, cx))
+    return _f2c(acc[:, :h, :w], patches.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("patch_width", "padded_width"))
