@@ -57,6 +57,7 @@ def main():
     import tike_tpu.ptycho as tp
 
     n_patterns = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
+    solver = sys.argv[2] if len(sys.argv) > 2 else "lsqml"
     det = 128
     probe_shape = 128
     num_batch = 10
@@ -89,9 +90,9 @@ def main():
         probe=probe,
         psi=np.full_like(psi, 0.5),
         scan=scan,
-        algorithm_options=tp.RpieOptions(
-            num_batch=num_batch, num_iter=1, batch_method="compact"
-        ),
+        algorithm_options=(
+            tp.LstsqOptions if solver == "lsqml" else tp.RpieOptions
+        )(num_batch=num_batch, num_iter=1, batch_method="compact"),
         object_options=tp.ObjectOptions(),
         probe_options=tp.ProbeOptions(),
     )
@@ -112,7 +113,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "rpie_epoch_patterns_per_sec_128px",
+                "metric": f"{solver}_epoch_patterns_per_sec_128px",
                 "value": round(patterns_per_sec, 1),
                 "unit": "patterns/s",
                 "vs_baseline": round(patterns_per_sec / 10_000, 3),

@@ -15,6 +15,13 @@ import tike_tpu.ptycho as tp
 DATA_FILE = "/root/reference/tests/data/siemens-star-small.npz.bz2"
 
 
+def siemens_star_data(filename=DATA_FILE):
+    """Return (data, scan, probe, psi) for function-style tests."""
+    setup = SiemensStarSetup()
+    setup.setUp(filename)
+    return setup.data, setup.scan, setup.probe, setup.psi
+
+
 class SiemensStarSetup:
     """Load the siemens-star dataset like the reference test fixture."""
 

@@ -1,0 +1,72 @@
+"""Fused multi-epoch program parity and OPR (eigen probe) reconstruction.
+
+The fused path (`tike_tpu/ptycho/solvers/fused.py`) folds whole epochs into
+one XLA program; these tests pin it to the per-epoch reference path
+bit-for-bit (same seed => same batches) for both solvers, mirroring how the
+reference validates solver variants against each other on the siemens-star
+dataset (`/root/reference/tests/test_ptycho.py`).
+"""
+
+import numpy as np
+import pytest
+
+import tike_tpu.ptycho as tp
+
+from .templates import siemens_star_data
+
+
+def _run(algo_cls, fused: bool, eigen: bool = False, num_iter: int = 3):
+    data, scan, probe, psi = siemens_star_data()
+    kwargs = {}
+    if eigen:
+        n = scan.shape[0]
+        m = probe.shape[-3]
+        kwargs["eigen_probe"] = (0.01 * probe[:, :1, :1].repeat(1, axis=-4))
+        weights = np.zeros((n, 2, m), np.float32)
+        weights[:, 0, :] = 1.0
+        kwargs["eigen_weights"] = weights
+    params = tp.PtychoParameters(
+        psi=psi,
+        probe=probe,
+        scan=scan,
+        algorithm_options=algo_cls(
+            num_iter=num_iter, num_batch=4, batch_method="compact"
+        ),
+        object_options=tp.ObjectOptions(),
+        probe_options=tp.ProbeOptions(),
+        **kwargs,
+    )
+    with tp.Reconstruction(
+        data=data, parameters=params, random_seed=42
+    ) as context:
+        if not fused:
+            context._fused_eligible = lambda: False
+        else:
+            assert context._fused_eligible()
+        context.iterate(num_iter)
+        result = context.get_result()
+    costs = [float(np.mean(c)) for c in result.algorithm_options.costs]
+    return costs, np.asarray(result.psi), np.asarray(result.probe)
+
+
+@pytest.mark.parametrize(
+    "algo_cls", [tp.RpieOptions, tp.LstsqOptions], ids=["rpie", "lstsq"]
+)
+def test_fused_matches_per_epoch(algo_cls):
+    """One fused program == the per-epoch driver loop, same seed."""
+    cf, psi_f, probe_f = _run(algo_cls, fused=True)
+    cu, psi_u, probe_u = _run(algo_cls, fused=False)
+    np.testing.assert_allclose(cf, cu, rtol=1e-3)
+    scale = np.max(np.abs(psi_u))
+    assert np.max(np.abs(psi_f - psi_u)) / scale < 1e-3
+    pscale = np.max(np.abs(probe_u))
+    assert np.max(np.abs(probe_f - probe_u)) / pscale < 1e-3
+
+
+def test_fused_lstsq_eigen_converges():
+    """Fused LSQML with OPR (eigen probe + weights) reduces the cost."""
+    costs, psi, probe = _run(tp.LstsqOptions, fused=True, eigen=True,
+                             num_iter=4)
+    assert np.all(np.isfinite(costs))
+    assert costs[-1] < costs[0] / 2
+    assert np.all(np.isfinite(psi)) and np.all(np.isfinite(probe))

@@ -254,6 +254,7 @@ def by_scan_stripes_contiguous(
     num_stripes: int,
     batch_method: str,
     num_batch: int,
+    rng: np.random.Generator | None = None,
 ) -> typing.Tuple[
     typing.List[np.ndarray],
     typing.List[typing.List[np.ndarray]],
@@ -271,11 +272,17 @@ def by_scan_stripes_contiguous(
     order: typing.List[np.ndarray] = []
     batches: typing.List[typing.List[np.ndarray]] = []
     stripe_start: typing.List[int] = []
+    import inspect
+
     method = BATCH_METHODS[batch_method]
+    takes_rng = "rng" in inspect.signature(method).parameters
     for stripe in stripe_map:
         local_scan = scan[stripe]
         stripe_start.append(int(np.floor(local_scan[:, 0].min())))
-        local_batches = method(local_scan, num_batch)
+        if takes_rng and rng is not None:
+            local_batches = method(local_scan, num_batch, rng=rng)
+        else:
+            local_batches = method(local_scan, num_batch)
         contiguous = stripe[np.concatenate(local_batches)]
         order.append(contiguous)
         sizes = [len(b) for b in local_batches]

@@ -132,6 +132,7 @@ class Reconstruction:
         use_mpi: bool = False,
         mesh=None,
         store_data_on_device: typing.Optional[bool] = None,
+        random_seed: typing.Optional[int] = None,
     ):
         if (
             np.any(np.asarray(data.shape) < 1)
@@ -196,7 +197,7 @@ class Reconstruction:
                 else 1e-9
             ),
         )
-        self._rng = np.random.default_rng()
+        self._rng = np.random.default_rng(random_seed)
 
     def __enter__(self):
         data = self.data_host
@@ -218,6 +219,7 @@ class Reconstruction:
             num_stripes=1,
             batch_method=self.parameters_host.algorithm_options.batch_method,
             num_batch=self.parameters_host.algorithm_options.num_batch,
+            rng=self._rng,
         )
         self.order = order[0]
         n_dev = 1 if self.mesh is None else self.mesh.size
@@ -264,7 +266,13 @@ class Reconstruction:
         """Whether iterate() can run as one fused multi-epoch program."""
         p = self.parameters
         return (
-            p.algorithm_options.name == "rpie"
+            (
+                p.algorithm_options.name == "rpie"
+                or (
+                    p.algorithm_options.name == "lstsq_grad"
+                    and self.operator.nslices == 1
+                )
+            )
             and p.position_options is None
             and not isinstance(self.data, np.ndarray)
             and getattr(self.data, "ndim", 0) == 4
@@ -282,7 +290,7 @@ class Reconstruction:
 
     def _iterate_fused(self, num_iter: int) -> None:
         """Run num_iter epochs as a single XLA program (see solvers.fused)."""
-        from .solvers.fused import EpochPlan, rpie_iterate_program
+        from .solvers.fused import EpochPlan, iterate_program
 
         p = self.parameters
         popts = p.probe_options
@@ -295,6 +303,11 @@ class Reconstruction:
         nb = batch_idx.shape[0]
         plan = EpochPlan(
             cfg=self.operator,
+            solver=(
+                "lstsq"
+                if p.algorithm_options.name == "lstsq_grad"
+                else "rpie"
+            ),
             n_epochs=num_iter,
             compact=compact,
             noise_model=ew.noise_model,
@@ -346,7 +359,7 @@ class Reconstruction:
                 ]
             )
         start = time.perf_counter()
-        psi, probe, eigen_weights, costs, powers = rpie_iterate_program(
+        psi, probe, eigen_probe, eigen_weights, costs, powers = iterate_program(
             plan,
             jnp.asarray(total_epochs0, jnp.int32),
             self.data,
@@ -367,7 +380,10 @@ class Reconstruction:
         elapsed = time.perf_counter() - start
         p.psi = psi
         p.probe = probe
-        p.eigen_weights = eigen_weights
+        if p.eigen_probe is not None:
+            p.eigen_probe = eigen_probe
+        if p.eigen_weights is not None:
+            p.eigen_weights = eigen_weights
         costs_host = to_host(costs)
         powers_host = to_host(powers)
         for e in range(num_iter):

@@ -7,8 +7,9 @@ is folded into a single program scanning over epochs. Cost and probe-power
 histories accumulate on-device and are downloaded once at the end.
 
 Supported configuration (the driver falls back to the per-epoch path
-otherwise): rpie solver, no position correction, no adaptive moments,
-device-resident batch-major data, 'mean_of_abs_object' or no rescaling.
+otherwise): rpie or lstsq (LSQML) solver, no position correction, no
+adaptive moments, device-resident batch-major data, 'mean_of_abs_object'
+or no rescaling.
 Epoch-dependent behavior (probe update gating, periodic rescale) uses traced
 predicates with `jnp.where` blends, matching the reference's host control
 flow (`ptycho/ptycho.py:431-564`) exactly for these paths.
@@ -28,6 +29,7 @@ from tike_tpu.utils.pairs import pair_jit
 from .. import probe as probe_module
 from .. import object as object_module
 from ._preconditioner import _probe_precond_math, _psi_precond_math
+from .lstsq import _lstsq_batch_math, _precondition_object_update
 from .rpie import _batch_gradients_math
 
 
@@ -37,6 +39,7 @@ class EpochPlan:
     """All static configuration for a fused multi-epoch run."""
 
     cfg: PtychoConfig
+    solver: str  # 'rpie' | 'lstsq'
     n_epochs: int
     compact: bool
     noise_model: str
@@ -105,7 +108,7 @@ def _probe_constraints_math(plan: EpochPlan, probe):
 
 
 @pair_jit(static_argnames=("plan",))
-def rpie_iterate_program(
+def iterate_program(
     plan: EpochPlan,
     epoch0,        # () int32: number of epochs already completed
     data,          # (nb, L, DET, DET)
@@ -122,16 +125,17 @@ def rpie_iterate_program(
     step_length_weight,
     unmeasured_pixels_scaling,
 ):
-    """Run ``plan.n_epochs`` full rPIE epochs in one XLA program.
+    """Run ``plan.n_epochs`` full rPIE or LSQML epochs in one XLA program.
 
-    Returns (psi, probe, eigen_weights, costs (E, nb), powers (E, modes)).
+    Returns (psi, probe, eigen_probe, eigen_weights, costs (E, nb),
+    powers (E, modes)).
     """
     cfg = plan.cfg
     nb = batch_idx.shape[0]
     alpha = jnp.asarray(plan.alpha, jnp.float32)
 
     def epoch_body(carry, e):
-        psi, probe, eigen_w = carry
+        psi, probe, eigen_p, eigen_w = carry
 
         total_e = epoch0 + e
         recover_now = jnp.logical_and(
@@ -174,69 +178,131 @@ def rpie_iterate_program(
         gate = recover_now.astype(jnp.float32)
 
         def batch_step(carry2, i):
-            psi_c, probe_c, eigen_w2, psi_acc, probe_acc = carry2
+            psi_c, probe_c, eigen_p2, eigen_w2, psi_acc, probe_acc = carry2
             n = order[i]
-            costs, psi_num, probe_num, eigen_delta = _batch_gradients_math(
-                cfg,
-                data[n],
-                scan,
-                batch_idx[n],
-                batch_mask[n],
-                psi_c,
-                probe_c,
-                eigen_probe,
-                eigen_w2,
-                measured_pixels,
-                step_length_start,
-                step_length_weight,
-                unmeasured_pixels_scaling,
-                noise_model=plan.noise_model,
-                steplength_usemodes=plan.steplength_usemodes,
-                recover_probe=plan.recover_probe,
-            )
-            if plan.has_eigen and eigen_delta is not None:
-                eigen_w2 = eigen_w2.at[batch_idx[n], 0, 0].add(
-                    eigen_delta * gate
+            if plan.solver == "lstsq":
+                out = _lstsq_batch_math(
+                    cfg,
+                    data[n],
+                    scan,
+                    batch_idx[n],
+                    batch_mask[n],
+                    psi_c,
+                    probe_c,
+                    eigen_p2 if plan.has_eigen else None,
+                    eigen_w2 if plan.has_eigen else None,
+                    measured_pixels,
+                    psi_pre,
+                    step_length_start,
+                    step_length_weight,
+                    unmeasured_pixels_scaling,
+                    num_batch=float(nb),
+                    noise_model=plan.noise_model,
+                    steplength_usemodes=plan.steplength_usemodes,
+                    recover_psi=plan.recover_psi,
+                    recover_probe=plan.recover_probe,
+                    recover_positions=False,
                 )
-            if plan.compact:
-                psi_acc = psi_acc + psi_num
-                probe_acc = probe_acc + probe_num
+                costs = out["costs"]
+                beta_obj = jnp.asarray(0.0, jnp.float32)
+                if plan.recover_psi:
+                    beta_obj = out["beta_object"].astype(jnp.float32)
+                    if plan.compact:
+                        psi_acc = psi_acc + out["object_upd_sum"]
+                    else:
+                        psi_c = psi_c + (
+                            out["beta_object"]
+                            * out["object_update_precond"]
+                        )
+                if plan.recover_probe:
+                    dprobe = out["beta_probe"] * out["m_probe_update"]
+                    probe_c = probe_c + gate * dprobe
+                    if plan.has_eigen:
+                        # Gate the OPR updates with the probe-recovery
+                        # predicate (host control flow in the reference).
+                        if "eigen_probe" in out and out["eigen_probe"] is not None:
+                            eigen_p2 = (
+                                gate * out["eigen_probe"]
+                                + (1 - gate) * eigen_p2
+                            )
+                        old_w = jnp.take(eigen_w2, batch_idx[n], axis=0)
+                        new_w = gate * out["w_b"] + (1 - gate) * old_w
+                        eigen_w2 = eigen_w2.at[batch_idx[n]].set(new_w)
+            else:
+                costs, psi_num, probe_num, eigen_delta = (
+                    _batch_gradients_math(
+                        cfg,
+                        data[n],
+                        scan,
+                        batch_idx[n],
+                        batch_mask[n],
+                        psi_c,
+                        probe_c,
+                        eigen_p2 if plan.has_eigen else None,
+                        eigen_w2 if plan.has_eigen else None,
+                        measured_pixels,
+                        step_length_start,
+                        step_length_weight,
+                        unmeasured_pixels_scaling,
+                        noise_model=plan.noise_model,
+                        steplength_usemodes=plan.steplength_usemodes,
+                        recover_probe=plan.recover_probe,
+                    )
+                )
+                beta_obj = jnp.asarray(0.0, jnp.float32)
+                if plan.has_eigen and eigen_delta is not None:
+                    eigen_w2 = eigen_w2.at[batch_idx[n], 0, 0].add(
+                        eigen_delta * gate
+                    )
+                if plan.compact:
+                    psi_acc = psi_acc + psi_num
+                    probe_acc = probe_acc + probe_num
+                else:
+                    if plan.recover_psi:
+                        deno = (1 - alpha) * psi_pre + alpha * jnp.abs(
+                            psi_pre
+                        ).max(axis=(-2, -1), keepdims=True)
+                        psi_c = psi_c + psi_num / deno
+                    if plan.recover_probe:
+                        ppre = jnp.abs(probe_pre[0])
+                        pdeno = (1 - alpha) * ppre + alpha * ppre.max()
+                        probe_c = probe_c + gate * probe_num[0] / pdeno
+            cost = jnp.sum(costs * batch_mask[n]) / jnp.maximum(
+                jnp.sum(batch_mask[n]), 1
+            )
+            return (
+                (psi_c, probe_c, eigen_p2, eigen_w2, psi_acc, probe_acc),
+                (n, cost, beta_obj),
+            )
+
+        psi_acc0 = jnp.zeros_like(psi)
+        probe_acc0 = jnp.zeros((psi.shape[0], *probe.shape), probe.dtype)
+        (
+            (psi, probe, eigen_p, eigen_w, psi_acc, probe_acc),
+            (ns, costs, beta_objs),
+        ) = jax.lax.scan(
+            batch_step,
+            (psi, probe, eigen_p, eigen_w, psi_acc0, probe_acc0),
+            jnp.arange(nb),
+        )
+        if plan.compact:
+            if plan.solver == "lstsq":
+                if plan.recover_psi:
+                    psi = psi + jnp.mean(
+                        beta_objs
+                    ) * _precondition_object_update(psi_acc, psi_pre)
             else:
                 if plan.recover_psi:
                     deno = (1 - alpha) * psi_pre + alpha * jnp.abs(
                         psi_pre
                     ).max(axis=(-2, -1), keepdims=True)
-                    psi_c = psi_c + psi_num / deno
+                    psi = psi + psi_acc / deno
                 if plan.recover_probe:
                     ppre = jnp.abs(probe_pre[0])
                     pdeno = (1 - alpha) * ppre + alpha * ppre.max()
-                    probe_c = probe_c + gate * probe_num[0] / pdeno
-            cost = jnp.sum(costs * batch_mask[n]) / jnp.maximum(
-                jnp.sum(batch_mask[n]), 1
-            )
-            return (psi_c, probe_c, eigen_w2, psi_acc, probe_acc), (n, cost)
+                    probe = probe + gate * probe_acc[0] / pdeno
 
-        psi_acc0 = jnp.zeros_like(psi)
-        probe_acc0 = jnp.zeros((psi.shape[0], *probe.shape), probe.dtype)
-        (psi, probe, eigen_w, psi_acc, probe_acc), (ns, costs) = (
-            jax.lax.scan(
-                batch_step,
-                (psi, probe, eigen_w, psi_acc0, probe_acc0),
-                jnp.arange(nb),
-            )
-        )
-        if plan.compact:
-            if plan.recover_psi:
-                deno = (1 - alpha) * psi_pre + alpha * jnp.abs(psi_pre).max(
-                    axis=(-2, -1), keepdims=True
-                )
-                psi = psi + psi_acc / deno
-            if plan.recover_probe:
-                ppre = jnp.abs(probe_pre[0])
-                pdeno = (1 - alpha) * ppre + alpha * ppre.max()
-                probe = probe + gate * probe_acc[0] / pdeno
-
-        if plan.has_eigen:
+        if plan.has_eigen and plan.solver == "rpie":
             eigen_w = eigen_w / tike_tpu.linalg.mnorm(
                 eigen_w, axis=-3, keepdims=True
             )
@@ -267,11 +333,17 @@ def rpie_iterate_program(
                 probe = probe * scale
 
         costs_by_batch = jnp.zeros(nb, costs.dtype).at[ns].set(costs)
-        return (psi, probe, eigen_w), (costs_by_batch, pwr)
+        return (psi, probe, eigen_p, eigen_w), (costs_by_batch, pwr)
 
-    (psi, probe, eigen_weights), (all_costs, all_powers) = jax.lax.scan(
-        epoch_body,
-        (psi, probe, eigen_weights),
-        jnp.arange(plan.n_epochs),
+    if eigen_probe is None:
+        eigen_probe = jnp.zeros((), jnp.float32)
+    if eigen_weights is None:
+        eigen_weights = jnp.zeros((), jnp.float32)
+    (psi, probe, eigen_probe, eigen_weights), (all_costs, all_powers) = (
+        jax.lax.scan(
+            epoch_body,
+            (psi, probe, eigen_probe, eigen_weights),
+            jnp.arange(plan.n_epochs),
+        )
     )
-    return psi, probe, eigen_weights, all_costs, all_powers
+    return psi, probe, eigen_probe, eigen_weights, all_costs, all_powers

@@ -59,18 +59,7 @@ def _trim_mean(x, proportion=0.05, axis=0):
     return jnp.mean(s[tuple(sl)], axis=axis, keepdims=True)
 
 
-@pair_jit(
-    static_argnames=(
-        "cfg",
-        "num_batch",
-        "noise_model",
-        "steplength_usemodes",
-        "recover_psi",
-        "recover_probe",
-        "recover_positions",
-    ),
-)
-def _lstsq_batch(
+def _lstsq_batch_math(
     cfg: PtychoConfig,
     data_b,
     scan,
@@ -295,6 +284,19 @@ def _lstsq_batch(
             jnp.sum(step * bmask[:, None, None, None, None], axis=0) / nvalid
         )
     return out
+
+
+_lstsq_batch = pair_jit(
+    static_argnames=(
+        "cfg",
+        "num_batch",
+        "noise_model",
+        "steplength_usemodes",
+        "recover_psi",
+        "recover_probe",
+        "recover_positions",
+    ),
+)(_lstsq_batch_math)
 
 
 def _precondition_object_update(
