@@ -115,3 +115,51 @@ class TestPositionCorrection(unittest.TestCase):
 
 if __name__ == "__main__":
     unittest.main()
+
+
+def test_update_positions_pd_reduces_error():
+    """Gradient-of-intensity position update (Dwivedi 2018) improves scan."""
+    import jax.numpy as jnp
+    from tike_tpu.ops.ptycho import PtychoConfig, simulate_intensity
+    from tike_tpu.ptycho.position import update_positions_pd
+    import tike_tpu.ptycho as tp
+
+    rng = np.random.default_rng(0)
+    hw, p = 128, 32
+    cfg = PtychoConfig(probe_shape=p, detector_shape=p, nz=hw, n=hw)
+    psi = jnp.asarray(
+        np.exp(1j * 0.4 * rng.standard_normal((1, hw, hw))).astype(
+            np.complex64
+        )
+    )
+    probe = jnp.asarray(
+        (tp.gaussian(p) * np.exp(1j * 0.1 * tp.gaussian(p)))[None, None]
+        .astype(np.complex64)
+    )
+    true_scan = np.stack(
+        [rng.uniform(4, hw - p - 5, 40), rng.uniform(4, hw - p - 5, 40)], -1
+    ).astype(np.float32)
+    data = simulate_intensity(cfg, psi, jnp.asarray(true_scan), probe)
+    bad = true_scan + rng.normal(0, 0.4, true_scan.shape).astype(np.float32)
+    err0 = float(np.mean(np.abs(bad - true_scan)))
+    scan = jnp.asarray(bad)
+    for _ in range(10):
+        scan, cost = update_positions_pd(
+            cfg, data, psi, probe, scan, step=0.05
+        )
+    err1 = float(np.mean(np.abs(np.asarray(scan) - true_scan)))
+    assert np.isfinite(cost)
+    assert err1 < err0
+
+
+def test_get_absorbtion_image():
+    """Transmission-map interpolation returns a finite grid-shaped image."""
+    from tike_tpu.ptycho.object import get_absorbtion_image
+
+    rng = np.random.default_rng(1)
+    scan = rng.uniform(0, 30, (100, 2)).astype(np.float32)
+    data = rng.random((100, 8, 8)).astype(np.float32)
+    img = get_absorbtion_image(data, scan, rescale=1.0, method="linear")
+    assert img.ndim == 2
+    assert np.all(np.isfinite(img))
+    assert img.shape[0] >= 28 and img.shape[1] >= 28

@@ -172,3 +172,35 @@ def get_padded_object(scan, probe, extra: int = 0):
     )
     psi = np.full(tuple(span), 0.5 + 0j, dtype=cfloating)
     return psi, (scan + 1 - min_corner + extra).astype(floating)
+
+
+def get_absorbtion_image(data, scan, *, rescale=1.0, method="cubic"):
+    """Approximate a scanning-transmission image from diffraction patterns.
+
+    Host-side utility (matches `object.py:281-321` in the reference): the
+    total intensity of each pattern becomes one sample of an absorption map
+    at its (rescaled) scan position, resampled onto an integer grid with
+    ``scipy.interpolate.griddata``. Points outside the convex hull are
+    filled with the maximum intensity (fully transmitting).
+    """
+    import scipy.interpolate
+
+    data = np.asarray(data)
+    scan = np.asarray(scan)
+    rescaled = scan * rescale
+
+    def span(x):
+        return np.arange(np.floor(x.min()), np.ceil(x.max()))
+
+    coord0, coord1 = np.meshgrid(
+        span(rescaled[:, 0]), span(rescaled[:, 1]), indexing="ij"
+    )
+    values = np.sum(np.square(np.abs(data)), axis=(-2, -1))
+    image = scipy.interpolate.griddata(
+        points=rescaled,
+        values=values,
+        xi=(coord0.flatten(), coord1.flatten()),
+        method=method,
+        fill_value=np.amax(values),
+    )
+    return np.reshape(image, coord0.shape)
