@@ -12,6 +12,13 @@ floats, so the bilinear combine uses [:, 2:] for the +x neighbor.
 
 These kernels require positions to be in-bounds (the driver-level
 `check_allowed_positions` guarantee); out-of-bounds windows are undefined.
+
+Status: kernel logic is validated against the XLA reference in interpreter
+mode (`tests/operators/test_patch_pallas.py`). The production hot path uses
+the aligned-tile XLA formulation in `ops/patch.py` instead, which achieves
+in-place accumulation (no per-step copies) and benchmarks at memory speed
+for this op; these kernels remain the template for backends where the XLA
+scatter path regresses.
 """
 
 from __future__ import annotations
