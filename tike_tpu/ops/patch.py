@@ -57,6 +57,60 @@ def _split_positions(positions):
     return lo.astype(jnp.int32), frac
 
 
+# TPU-native formulation: every window is addressed through a corner that is
+# aligned to the native (sublane, lane) = (8, 128) tiling, so gathers and
+# read-modify-writes touch whole tiles (XLA keeps them in place / fast DMA).
+# The residual shift (corner mod (8, 128)) AND the bilinear fractional blend
+# are folded into tiny banded selection matrices applied on the MXU:
+#   patch  = R^T @ tile @ C      (forward)
+#   tile   = R @ patch @ C^T     (adjoint)
+# where R = (1-fy)*S_ry + fy*S_{ry+1} selects/blends rows shifted by the
+# row residual, and C does the same for columns. S_s are dynamic slices of a
+# static banded 0/1 matrix, so the whole operator is gather-free.
+_SUB, _LANE = 8, 128
+
+
+def _tile_dims(p: int) -> tuple[int, int]:
+    th = -(-(p + _SUB) // _SUB) * _SUB
+    tw = -(-(p + _LANE) // _LANE) * _LANE
+    return th, tw
+
+
+def _selection_mats(p: int, corner, frac):
+    """Per-window row/column selection+blend matrices (N,th,p), (N,tw,p)."""
+    th, tw = _tile_dims(p)
+    ry = corner[:, 0] % _SUB
+    rx = corner[:, 1] % _LANE
+    fy = frac[:, 0][:, None, None]
+    fx = frac[:, 1][:, None, None]
+
+    # band[a, j] = 1 iff a == j + shift_cap; slicing at (shift_cap - s) gives
+    # S_s[y, j] = 1 iff y == j + s.
+    bandy = jnp.eye(th + _SUB, p, k=-_SUB, dtype=jnp.float32)
+    bandx = jnp.eye(tw + _LANE, p, k=-_LANE, dtype=jnp.float32)
+
+    def srow(s):
+        return jax.lax.dynamic_slice(bandy, (_SUB - s, 0), (th, p))
+
+    def scol(s):
+        return jax.lax.dynamic_slice(bandx, (_LANE - s, 0), (tw, p))
+
+    R = (1 - fy) * jax.vmap(srow)(ry) + fy * jax.vmap(srow)(ry + 1)
+    C = (1 - fx) * jax.vmap(scol)(rx) + fx * jax.vmap(scol)(rx + 1)
+    return R, C
+
+
+def _aligned_corners(corner):
+    cy = corner[:, 0] - corner[:, 0] % _SUB
+    cx = corner[:, 1] - corner[:, 1] % _LANE
+    return cy, cx
+
+
+def _padded_image_dims(h: int, w: int, p: int) -> tuple[int, int]:
+    th, tw = _tile_dims(p)
+    return -(-h // _SUB) * _SUB + th, -(-w // _LANE) * _LANE + tw
+
+
 def patch_fwd(
     images: jax.Array,
     positions: jax.Array,
@@ -74,23 +128,28 @@ def patch_fwd(
     -------
     patches : (N, P, P) complex
     """
+    p = patch_width
+    h, w = images.shape
     corner, frac = _split_positions(positions)
-    fy = frac[:, None, 0][:, :, None, None]
-    fx = frac[:, None, 1][:, :, None, None]
     imf = _c2f(images)  # (C, H, W)
     nch = imf.shape[0]
+    th, tw = _tile_dims(p)
+    hp, wp = _padded_image_dims(h, w, p)
+    padded = jnp.pad(imf, ((0, 0), (0, hp - h), (0, wp - w)))
+    cy, cx = _aligned_corners(corner)
 
-    def one_window(c):
-        return jax.lax.dynamic_slice(
-            imf, (0, c[0], c[1]), (nch, patch_width + 1, patch_width + 1)
-        )
+    def one_tile(y0, x0):
+        return jax.lax.dynamic_slice(padded, (0, y0, x0), (nch, th, tw))
 
-    win = jax.vmap(one_window)(corner)  # (N, C, P+1, P+1)
-    out = (
-        (1 - fy) * (1 - fx) * win[:, :, :-1, :-1]
-        + (1 - fy) * fx * win[:, :, :-1, 1:]
-        + fy * (1 - fx) * win[:, :, 1:, :-1]
-        + fy * fx * win[:, :, 1:, 1:]
+    tiles = jax.vmap(one_tile)(cy, cx)  # (N, C, th, tw) aligned gather
+    R, C = _selection_mats(p, corner, frac)
+    # patch = R^T @ tile @ C on the MXU (HIGHEST keeps f32 blend weights).
+    out = jnp.einsum(
+        "nya,ncyx,nxb->ncab",
+        R,
+        tiles,
+        C,
+        precision=jax.lax.Precision.HIGHEST,
     )
     # (N, C, P, P) -> complex (N, P, P)
     return _f2c(jnp.moveaxis(out, 1, 0), images.dtype)
@@ -180,44 +239,22 @@ def patch_adj(
     corner, frac = _split_positions(positions)
     pf = jnp.moveaxis(_c2f(patches), 0, 1)  # (N, C, P, P)
     nch = pf.shape[1]
-    fy = frac[:, None, 0][:, :, None, None]  # (N, 1, 1, 1)
-    fx = frac[:, None, 1][:, :, None, None]
+    th, tw = _tile_dims(p)
+    cy, cx = _aligned_corners(corner)
 
-    SUB, LANE = 8, 128
-    ry = corner[:, 0] % SUB
-    rx = corner[:, 1] % LANE
-    cy = corner[:, 0] - ry  # aligned tile corners
-    cx = corner[:, 1] - rx
-    # Tile must hold rows [ry, ry + p + 1) for ry <= SUB - 1 (and same in x),
-    # rounded up to the native (8, 128) tiling.
-    th = -(-(p + SUB) // SUB) * SUB
-    tw = -(-(p + LANE) // LANE) * LANE
-
-    # Shift rows by ry (blend with ry+1): gather a th-row slice from a
-    # padded buffer so that content lands at output row s + k.
-    pady = jnp.pad(pf, ((0, 0), (0, 0), (SUB, th - p), (0, 0)))
-
-    def shift_rows(a, s):
-        return jax.lax.dynamic_slice(
-            a, (0, SUB - s, 0), (nch, th, a.shape[-1])
-        )
-
-    ty = (1 - fy) * jax.vmap(shift_rows)(pady, ry) + fy * jax.vmap(
-        shift_rows
-    )(pady, ry + 1)  # (N, C, th, P)
-
-    padx = jnp.pad(ty, ((0, 0), (0, 0), (0, 0), (LANE, tw - p)))
-
-    def shift_cols(a, s):
-        return jax.lax.dynamic_slice(a, (0, 0, LANE - s), (nch, th, tw))
-
-    tiles = (1 - fx) * jax.vmap(shift_cols)(padx, rx) + fx * jax.vmap(
-        shift_cols
-    )(padx, rx + 1)  # (N, C, th, tw)
+    # tile = R @ patch @ C^T: the exact transpose of the forward's
+    # selection-matrix extraction, on the MXU.
+    R, C = _selection_mats(p, corner, frac)
+    tiles = jnp.einsum(
+        "nya,ncab,nxb->ncyx",
+        R,
+        pf,
+        C,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (N, C, th, tw)
 
     # Accumulate tiles at aligned offsets into a padded accumulator.
-    hp = -(-h // SUB) * SUB + th
-    wp = -(-w // LANE) * LANE + tw
+    hp, wp = _padded_image_dims(h, w, p)
     if images is None:
         acc0 = jnp.zeros((nch, hp, wp), dtype=pf.dtype)
     else:
