@@ -84,20 +84,20 @@ def _selection_mats(p: int, corner, frac):
     fy = frac[:, 0][:, None, None]
     fx = frac[:, 1][:, None, None]
 
-    # band[a, j] = 1 iff a == j + shift_cap; slicing at (shift_cap - s) gives
-    # S_s[y, j] = 1 iff y == j + s.
-    bandy = jnp.eye(th + _SUB, p, k=-_SUB, dtype=jnp.float32)
-    bandx = jnp.eye(tw + _LANE, p, k=-_LANE, dtype=jnp.float32)
-
-    def srow(s):
-        return jax.lax.dynamic_slice(bandy, (_SUB - s, 0), (th, p))
-
-    def scol(s):
-        return jax.lax.dynamic_slice(bandx, (_LANE - s, 0), (tw, p))
-
-    R = (1 - fy) * jax.vmap(srow)(ry) + fy * jax.vmap(srow)(ry + 1)
-    C = (1 - fx) * jax.vmap(scol)(rx) + fx * jax.vmap(scol)(rx + 1)
-    return R, C
+    # S_s[y, j] = 1 iff y == j + s, blended over s in {r, r+1}. Built by
+    # broadcast-comparing a static (rows, p) difference matrix against the
+    # per-window residual — pure elementwise, no gather.
+    dy = jnp.arange(th, dtype=jnp.int32)[:, None] - jnp.arange(
+        p, dtype=jnp.int32
+    )
+    dx = jnp.arange(tw, dtype=jnp.int32)[:, None] - jnp.arange(
+        p, dtype=jnp.int32
+    )
+    ryn = ry[:, None, None]
+    rxn = rx[:, None, None]
+    R = jnp.where(dy == ryn, 1 - fy, 0.0) + jnp.where(dy == ryn + 1, fy, 0.0)
+    C = jnp.where(dx == rxn, 1 - fx, 0.0) + jnp.where(dx == rxn + 1, fx, 0.0)
+    return R.astype(jnp.float32), C.astype(jnp.float32)
 
 
 def _aligned_corners(corner):
@@ -215,17 +215,15 @@ def patch_adj(
     per *element*; a scan of window read-modify-writes at arbitrary offsets
     forces XLA to copy the full accumulator every step (lane-unaligned
     ``dynamic_update_slice`` cannot update in place). Instead each patch is
-    first rendered into a tile whose corner is (8, 128)-aligned:
-
-    1. the residual offset (corner mod (8, 128)) *and* the bilinear
-       fractional shift are applied with vmapped ``dynamic_slice`` gathers
-       from a zero-padded buffer (the same batched-gather shape as
-       :func:`patch_fwd`, which is effectively free), and
-    2. a `lax.scan` of dynamic_update_slices at *aligned* offsets
-       accumulates the tiles — XLA performs these in place.
+    rendered into a tile whose corner is (8, 128)-aligned — the residual
+    offset and the bilinear fractional blend folded into MXU selection
+    matrices (tile = R @ patch @ C^T) — and the tiles are accumulated with
+    dynamic_update_slices at aligned offsets, which XLA performs in place.
 
     Overlapping windows are handled exactly because the accumulation is
-    sequential.
+    sequential. (A K-way round-robin split over independent accumulators
+    was measured slower: the TPU core executes scan steps sequentially, so
+    the per-step update cost is not a hideable HBM latency.)
 
     Parameters
     ----------
@@ -253,7 +251,6 @@ def patch_adj(
         precision=jax.lax.Precision.HIGHEST,
     )  # (N, C, th, tw)
 
-    # Accumulate tiles at aligned offsets into a padded accumulator.
     hp, wp = _padded_image_dims(h, w, p)
     if images is None:
         acc0 = jnp.zeros((nch, hp, wp), dtype=pf.dtype)
