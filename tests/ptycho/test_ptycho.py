@@ -70,6 +70,37 @@ class TestPtychoRecon(SiemensStarSetup, ReconstructTwice, unittest.TestCase):
         )
         self.template_consistent_algorithm(data=self.data, params=params)
 
+    def test_consistent_lstsq(self):
+        params = self._params(
+            tp.LstsqOptions(num_batch=5, num_iter=NUM_EPOCH),
+            probe_options=tp.ProbeOptions(force_orthogonality=True),
+        )
+        self.template_consistent_algorithm(data=self.data, params=params)
+
+    def test_consistent_lstsq_poisson_dominant(self):
+        params = self._params(
+            tp.LstsqOptions(num_batch=5, num_iter=NUM_EPOCH),
+            probe_options=tp.ProbeOptions(),
+            exitwave_options=tp.ExitWaveOptions(
+                measured_pixels=np.ones(
+                    self.probe.shape[-2:], dtype=np.bool_
+                ),
+                noise_model="poisson",
+                step_length_usemodes="dominant_mode",
+            ),
+        )
+        self.template_consistent_algorithm(data=self.data, params=params)
+
+    def test_consistent_lstsq_compact_momentum(self):
+        params = self._params(
+            tp.LstsqOptions(
+                num_batch=5, num_iter=NUM_EPOCH, batch_method="compact"
+            ),
+            probe_options=tp.ProbeOptions(use_adaptive_moment=True),
+            object_options=tp.ObjectOptions(use_adaptive_moment=True),
+        )
+        self.template_consistent_algorithm(data=self.data, params=params)
+
     def test_consistent_rpie_masked_detector(self):
         mask = np.ones(self.probe.shape[-2:], dtype=np.bool_)
         mask[40:50, 40:50] = False  # dead detector region
