@@ -126,3 +126,28 @@ def test_swap_edges_halo_blend():
                 (1 - ramp[:, ::-1]) * below_top + ramp[:, ::-1] * mine_bot
             )
     np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
+
+
+def test_mesh_fused_lstsq():
+    """The fused LSQML program runs sharded and reduces cost."""
+    psi, probe, scan, data = _setup()
+    mesh = make_mesh()
+    params = tp.PtychoParameters(
+        probe=probe.copy(),
+        psi=np.full_like(psi, 0.5),
+        scan=scan.copy(),
+        algorithm_options=tp.LstsqOptions(
+            num_batch=3, num_iter=3, batch_method="compact"
+        ),
+        object_options=tp.ObjectOptions(),
+        probe_options=tp.ProbeOptions(),
+    )
+    with tp.Reconstruction(
+        data=data, parameters=params, mesh=mesh, random_seed=1
+    ) as context:
+        assert context._fused_eligible()
+        context.iterate(3)
+        result = context.get_result()
+    costs = [float(np.mean(c)) for c in result.algorithm_options.costs]
+    assert np.isfinite(costs).all()
+    assert costs[-1] < costs[0]
