@@ -78,10 +78,8 @@ def swap_edges(psi_striped, mesh: Mesh, overlap: int):
         out = out.at[:, -overlap:, :].set(new_bot)
         return out
 
-    from jax.experimental.shard_map import shard_map
-
     spec = P(None, BATCH_AXIS, None)
-    return shard_map(
+    return jax.shard_map(
         exchange,
         mesh=mesh,
         in_specs=(spec,),
