@@ -70,17 +70,17 @@ def _split_positions(positions):
 _SUB, _LANE = 8, 128
 
 
-def _tile_dims(p: int) -> tuple[int, int]:
-    th = -(-(p + _SUB) // _SUB) * _SUB
-    tw = -(-(p + _LANE) // _LANE) * _LANE
+def _tile_dims(p: int, sub: int = _SUB, lane: int = _LANE) -> tuple[int, int]:
+    th = -(-(p + sub) // 8) * 8
+    tw = -(-(p + lane) // lane) * lane
     return th, tw
 
 
-def _selection_mats(p: int, corner, frac):
+def _selection_mats(p: int, corner, frac, sub: int = _SUB, lane: int = _LANE):
     """Per-window row/column selection+blend matrices (N,th,p), (N,tw,p)."""
-    th, tw = _tile_dims(p)
-    ry = corner[:, 0] % _SUB
-    rx = corner[:, 1] % _LANE
+    th, tw = _tile_dims(p, sub, lane)
+    ry = corner[:, 0] % sub
+    rx = corner[:, 1] % lane
     fy = frac[:, 0][:, None, None]
     fx = frac[:, 1][:, None, None]
 
@@ -100,15 +100,17 @@ def _selection_mats(p: int, corner, frac):
     return R.astype(jnp.float32), C.astype(jnp.float32)
 
 
-def _aligned_corners(corner):
-    cy = corner[:, 0] - corner[:, 0] % _SUB
-    cx = corner[:, 1] - corner[:, 1] % _LANE
+def _aligned_corners(corner, sub: int = _SUB, lane: int = _LANE):
+    cy = corner[:, 0] - corner[:, 0] % sub
+    cx = corner[:, 1] - corner[:, 1] % lane
     return cy, cx
 
 
-def _padded_image_dims(h: int, w: int, p: int) -> tuple[int, int]:
-    th, tw = _tile_dims(p)
-    return -(-h // _SUB) * _SUB + th, -(-w // _LANE) * _LANE + tw
+def _padded_image_dims(
+    h: int, w: int, p: int, sub: int = _SUB, lane: int = _LANE
+) -> tuple[int, int]:
+    th, tw = _tile_dims(p, sub, lane)
+    return -(-h // sub) * sub + th, -(-w // lane) * lane + tw
 
 
 def patch_fwd(
@@ -237,12 +239,25 @@ def patch_adj(
     corner, frac = _split_positions(positions)
     pf = jnp.moveaxis(_c2f(patches), 0, 1)  # (N, C, P, P)
     nch = pf.shape[1]
-    th, tw = _tile_dims(p)
-    cy, cx = _aligned_corners(corner)
+
+    # When the (sub x 128) corner grid has fewer cells than there are
+    # windows, merge the tiles of each cell with a one-hot matmul and scan
+    # over cells instead of windows (the sequential scan is the
+    # latency-bound part). Coarser row alignment (sub=128) shrinks the grid
+    # at the cost of taller tiles; it wins for dense scans.
+    sub = _SUB
+    gy = -(-h // 128) + 1
+    gx = -(-w // _LANE) + 1
+    merge = gy * gx < n
+    if merge:
+        sub = 128
+
+    th, tw = _tile_dims(p, sub)
+    cy, cx = _aligned_corners(corner, sub)
 
     # tile = R @ patch @ C^T: the exact transpose of the forward's
     # selection-matrix extraction, on the MXU.
-    R, C = _selection_mats(p, corner, frac)
+    R, C = _selection_mats(p, corner, frac, sub)
     tiles = jnp.einsum(
         "nya,ncab,nxb->ncyx",
         R,
@@ -251,7 +266,18 @@ def patch_adj(
         precision=jax.lax.Precision.HIGHEST,
     )  # (N, C, th, tw)
 
-    hp, wp = _padded_image_dims(h, w, p)
+    hp, wp = _padded_image_dims(h, w, p, sub)
+    if merge:
+        g = gy * gx
+        gid = (cy // sub) * gx + (cx // _LANE)
+        onehot = (
+            gid[:, None] == jnp.arange(g, dtype=jnp.int32)[None, :]
+        ).astype(jnp.float32)
+        tiles = jnp.einsum("ng,ncyx->gcyx", onehot, tiles)
+        gids = jnp.arange(g, dtype=jnp.int32)
+        cy = (gids // gx) * sub
+        cx = (gids % gx) * _LANE
+
     if images is None:
         acc0 = jnp.zeros((nch, hp, wp), dtype=pf.dtype)
     else:
