@@ -55,6 +55,14 @@ class PtychoConfig:
     probe_FOV_lengths: tuple = (1e-6, 1e-6)
     multislice_propagation_distance: float = 1e-6
 
+    def __post_init__(self):
+        if self.detector_shape < self.probe_shape:
+            raise ValueError(
+                f"detector_shape ({self.detector_shape}) must be >= "
+                f"probe_shape ({self.probe_shape}); the exit wave is "
+                "zero-padded (never cropped) up to the detector."
+            )
+
     @property
     def pad(self) -> int:
         return (self.detector_shape - self.probe_shape) // 2
