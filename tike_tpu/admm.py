@@ -26,7 +26,6 @@ ADMM iteration (rho = penalty, lamda = scaled dual):
 from __future__ import annotations
 
 import copy
-import dataclasses
 import logging
 import typing
 

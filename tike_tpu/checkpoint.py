@@ -22,7 +22,6 @@ from .ptycho.object import ObjectOptions
 from .ptycho.position import AffineTransform, PositionOptions
 from .ptycho.probe import ProbeOptions
 from .ptycho.solvers.options import (
-    IterativeOptions,
     LstsqOptions,
     PtychoParameters,
     RpieOptions,

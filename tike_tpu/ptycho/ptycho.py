@@ -14,7 +14,6 @@ Differences from the reference driver:
 from __future__ import annotations
 
 import copy
-import dataclasses
 import logging
 import time
 import typing
@@ -35,11 +34,11 @@ from tike_tpu.ops.ptycho import (
 from tike_tpu.precision import cfloating, floating
 
 from tike_tpu.utils.transfer import to_host
-from tike_tpu.utils.pairs import Pair, pair_jit, upload as pair_upload
+from tike_tpu.utils.pairs import pair_jit
 
 from . import object as object_module
 from . import probe as probe_module
-from .position import AffineTransform, affine_position_regularization
+from .position import affine_position_regularization
 from . import solvers
 from .solvers import PtychoParameters
 from .solvers._preconditioner import update_preconditioners

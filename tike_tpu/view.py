@@ -8,7 +8,6 @@ compute jobs don't pay for it.
 
 from __future__ import annotations
 
-import warnings
 
 import numpy as np
 
