@@ -228,3 +228,78 @@ def plot_affine_transform(transform, positions=None):
         plt.scatter(positions[:, 1], positions[:, 0], s=2)
     plt.axis("equal")
     plt.legend()
+
+
+def coverage_histogram(
+    theta, v, h, dwell=None, bins=(16, 8, 4), probe_grid=None,
+    probe_shape=(0, 0),
+):
+    """Sinogram-space coverage histogram for a (theta, v, h) trajectory.
+
+    Counts (dwell-weighted) samples per (theta, v, h) bin, one ray per
+    active cell of ``probe_grid`` offset within ``probe_shape``, normalized
+    by the ideal uniform bin count (coverage 1.0 = uniform sampling).
+    Equivalent of the histogram half of the reference's
+    ``plot_sino_coverage`` (`view.py:501-576`).
+    """
+    theta = np.asarray(theta) % np.pi
+    v = np.asarray(v)
+    h = np.asarray(h)
+    dwell = np.ones(theta.shape) if dwell is None else np.asarray(dwell)
+    probe_grid = np.asarray([[1]] if probe_grid is None else probe_grid)
+    gy, gx = probe_grid.shape
+    dv, dh = np.meshgrid(
+        np.linspace(0, probe_shape[0], gy, endpoint=False)
+        + probe_shape[0] / gy / 2,
+        np.linspace(0, probe_shape[1], gx, endpoint=False)
+        + probe_shape[1] / gx / 2,
+        indexing="ij",
+    )
+    dv, dh, weights = dv.ravel(), dh.ravel(), probe_grid.ravel()
+    H = np.zeros(bins)
+    for i in range(weights.size):
+        if weights[i] > 0:
+            sample = np.stack([theta, v + dv[i], h + dh[i]], axis=1)
+            dH, _ = np.histogramdd(
+                sample,
+                bins=bins,
+                range=[[0, np.pi], [-0.5, 0.5], [-0.5, 0.5]],
+                weights=dwell * weights[i],
+            )
+            H += dH
+    ideal = np.sum(dwell) * np.sum(weights) / np.prod(bins)
+    return H / ideal
+
+
+def plot_sino_coverage(
+    theta, v, h, dwell=None, bins=(16, 8, 4), probe_grid=None,
+    probe_shape=(0, 0),
+):
+    """Plot minimum sinogram-space coverage along each axis pair.
+
+    Equivalent of the reference `view.py:501-576`: three panels showing the
+    minimum of the coverage histogram projected along theta, v, and h.
+    Returns the histogram.
+    """
+    import matplotlib.pyplot as plt
+
+    H = coverage_histogram(
+        theta, v, h, dwell=dwell, bins=bins, probe_grid=probe_grid,
+        probe_shape=probe_shape,
+    )
+    for panel, (axis, xl, yl) in enumerate(
+        [(2, "h", "theta"), (0, "h", "v"), (1, "theta", "v")]
+    ):
+        ax = plt.subplot(1, 3, panel + 1)
+        img = np.min(H, axis=axis)
+        plt.imshow(
+            img if axis == 2 else img.T,
+            vmin=0,
+            vmax=2,
+            origin="lower",
+            cmap=plt.cm.RdBu,
+        )
+        ax.axis("equal")
+        plt.xlabel(xl)
+        plt.ylabel(yl)
+    return H
