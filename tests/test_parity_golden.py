@@ -1,0 +1,99 @@
+"""Numerical parity against the reference's bundled golden datasets.
+
+The reference pins its ``simulate`` forward models to pickled datasets so that
+any change in FFT norms, padding conventions, or interpolation silently breaks
+these comparisons (`/root/reference/tests/ptycho/test_ptycho.py:190-204`,
+`tests/test_lamino.py:130-140`, `tests/test_align.py:68-79`). These tests run
+tike_tpu's forward models against the *same stored data* at the same
+tolerances, proving the math matches the CuPy reference — not merely that our
+solvers converge.
+
+Note on tomo: the reference repository no longer ships a ``tike.tomo`` module
+(its ``tests/test_tomo.py`` imports a module absent from ``src/tike``), so the
+``tomo_setup`` pickle has no runnable reference counterpart; we cover the
+Radon geometry instead via the Fourier-lamino equivalence tests in
+``tests/test_lamino.py``.
+"""
+
+import lzma
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+REF_DATA = "/root/reference/tests/data"
+
+requires_golden = pytest.mark.skipif(
+    not os.path.isdir(REF_DATA),
+    reason="reference golden datasets not mounted",
+)
+
+
+def _load(name):
+    with lzma.open(os.path.join(REF_DATA, name), "rb") as f:
+        return pickle.load(f)
+
+
+@requires_golden
+def test_ptycho_simulate_matches_reference_golden():
+    """Reproduce the stored ptycho dataset at the reference tolerance.
+
+    Mirrors `/root/reference/tests/ptycho/test_ptycho.py:190-204`
+    (``test_consistent_simulate``): same inputs, ``assert_allclose`` of the
+    amplitudes at atol=1e-6.
+    """
+    import tike_tpu.ptycho as tp
+
+    data, scan, probe, original = _load("ptycho_setup.pickle.lzma")
+    sim = tp.simulate(
+        detector_shape=data.shape[-1],
+        probe=probe,
+        scan=scan,
+        psi=original,
+        fly=scan.shape[-2] // data.shape[-3],
+    )
+    assert sim.dtype == np.float32
+    np.testing.assert_array_equal(sim.shape, data.shape)
+    np.testing.assert_allclose(np.sqrt(sim), np.sqrt(data), atol=1e-6)
+
+
+@requires_golden
+def test_lamino_simulate_matches_reference_golden():
+    """Reproduce the stored laminography dataset.
+
+    Mirrors `/root/reference/tests/test_lamino.py:130-140`: complex
+    projections allclose at atol=1e-6 (the reference data scale is ~6e-4, so
+    this is a tight relative bound on the USFFT chain: padding, Gaussian
+    kernel, checkerboard fftshift, and gather conventions all must match).
+    """
+    import tike_tpu.lamino as tl
+
+    data, original, theta, tilt = _load("lamino_setup.pickle.lzma")
+    sim = tl.simulate(original, theta, tilt, upsample=2)
+    assert sim.dtype == np.complex64
+    np.testing.assert_array_equal(sim.shape, data.shape)
+    np.testing.assert_allclose(sim, data, atol=1e-6)
+
+
+@requires_golden
+def test_align_simulate_matches_reference_golden():
+    """Reproduce the stored alignment dataset.
+
+    Mirrors `/root/reference/tests/test_align.py:68-79`: Lanczos flow warp +
+    Fourier shift of the original image, allclose at atol=1e-6 (image scale
+    ~1.2). Pins the Lanczos window, edge clamping, and shift sign conventions.
+    """
+    import tike_tpu.align as ta
+
+    data, original, flow, shift = _load("algin_setup.pickle.lzma")
+    sim = ta.simulate(
+        original=original,
+        flow=flow,
+        shift=shift,
+        padded_shape=None,
+        angle=None,
+    )
+    assert sim.dtype == np.complex64
+    np.testing.assert_array_equal(sim.shape, data.shape)
+    np.testing.assert_allclose(sim, data, atol=1e-6)
