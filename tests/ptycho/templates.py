@@ -40,6 +40,27 @@ class SiemensStarSetup:
         self.psi = np.full((1, 600, 600), 0.5 + 0j, dtype=np.complex64)
 
 
+def siemens_star_subset(n_keep=160, filename=DATA_FILE):
+    """A small spatial subset of the siemens-star scan for fast tests.
+
+    Keeps the ``n_keep`` positions nearest the scan median and crops the
+    object to the covered region, cutting solver test wall time ~10x while
+    exercising the same real measured data.
+    """
+    setup = SiemensStarSetup()
+    setup.setUp(filename)
+    scan, data, probe = setup.scan, setup.data, setup.probe
+    center = np.median(scan, axis=0)
+    keep = np.argsort(np.max(np.abs(scan - center), axis=1))[:n_keep]
+    scan = scan[keep] - np.amin(scan[keep], axis=0) + 20
+    data = np.ascontiguousarray(data[keep])
+    w = probe.shape[-1]
+    hh = int(np.ceil(scan[:, 0].max())) + w + 21
+    ww = int(np.ceil(scan[:, 1].max())) + w + 21
+    psi = np.full((1, hh, ww), 0.5 + 0j, dtype=np.complex64)
+    return data, scan.astype(np.float32), probe, psi
+
+
 class ReconstructTwice:
     """Call reconstruct twice in a loop to check continuation correctness."""
 

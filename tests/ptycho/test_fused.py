@@ -4,7 +4,8 @@ The fused path (`tike_tpu/ptycho/solvers/fused.py`) folds whole epochs into
 one XLA program; these tests pin it to the per-epoch reference path
 bit-for-bit (same seed => same batches) for both solvers, mirroring how the
 reference validates solver variants against each other on the siemens-star
-dataset (`/root/reference/tests/test_ptycho.py`).
+dataset (`/root/reference/tests/test_ptycho.py`). Variants cover the probe
+update schedule (update_period > 1) and in-program position correction.
 """
 
 import numpy as np
@@ -12,19 +13,33 @@ import pytest
 
 import tike_tpu.ptycho as tp
 
-from .templates import siemens_star_data
+from .templates import siemens_star_subset
 
 
-def _run(algo_cls, fused: bool, eigen: bool = False, num_iter: int = 3):
-    data, scan, probe, psi = siemens_star_data()
+def _run(
+    algo_cls,
+    fused: bool,
+    eigen: bool = False,
+    num_iter: int = 3,
+    update_period: int = 1,
+    positions: bool = False,
+    positions_adam: bool = False,
+):
+    data, scan, probe, psi = siemens_star_subset()
     kwargs = {}
     if eigen:
         n = scan.shape[0]
         m = probe.shape[-3]
-        kwargs["eigen_probe"] = (0.01 * probe[:, :1, :1].repeat(1, axis=-4))
+        kwargs["eigen_probe"] = 0.01 * probe[:, :1, :1].repeat(1, axis=-4)
         weights = np.zeros((n, 2, m), np.float32)
         weights[:, 0, :] = 1.0
         kwargs["eigen_weights"] = weights
+    if positions:
+        kwargs["position_options"] = tp.PositionOptions(
+            initial_scan=scan,
+            use_adaptive_moment=positions_adam,
+            update_magnitude_limit=2.0,
+        )
     params = tp.PtychoParameters(
         psi=psi,
         probe=probe,
@@ -33,7 +48,7 @@ def _run(algo_cls, fused: bool, eigen: bool = False, num_iter: int = 3):
             num_iter=num_iter, num_batch=4, batch_method="compact"
         ),
         object_options=tp.ObjectOptions(),
-        probe_options=tp.ProbeOptions(),
+        probe_options=tp.ProbeOptions(update_period=update_period),
         **kwargs,
     )
     with tp.Reconstruction(
@@ -46,27 +61,56 @@ def _run(algo_cls, fused: bool, eigen: bool = False, num_iter: int = 3):
         context.iterate(num_iter)
         result = context.get_result()
     costs = [float(np.mean(c)) for c in result.algorithm_options.costs]
-    return costs, np.asarray(result.psi), np.asarray(result.probe)
+    return (
+        costs,
+        np.asarray(result.psi),
+        np.asarray(result.probe),
+        np.asarray(result.scan),
+    )
 
 
 @pytest.mark.parametrize(
     "algo_cls", [tp.RpieOptions, tp.LstsqOptions], ids=["rpie", "lstsq"]
 )
-def test_fused_matches_per_epoch(algo_cls):
+@pytest.mark.parametrize(
+    "variant", ["plain", "period2", "positions", "positions_adam"]
+)
+def test_fused_matches_per_epoch(algo_cls, variant):
     """One fused program == the per-epoch driver loop, same seed."""
-    cf, psi_f, probe_f = _run(algo_cls, fused=True)
-    cu, psi_u, probe_u = _run(algo_cls, fused=False)
+    if variant.startswith("positions") and algo_cls is tp.RpieOptions:
+        pytest.skip("position correction is lstsq-only (like the reference)")
+    kw = dict(
+        update_period=2 if variant == "period2" else 1,
+        positions=variant.startswith("positions"),
+        positions_adam=variant == "positions_adam",
+        num_iter=4 if variant == "period2" else 3,
+    )
+    cf, psi_f, probe_f, scan_f = _run(algo_cls, fused=True, **kw)
+    cu, psi_u, probe_u, scan_u = _run(algo_cls, fused=False, **kw)
     np.testing.assert_allclose(cf, cu, rtol=1e-3)
     scale = np.max(np.abs(psi_u))
     assert np.max(np.abs(psi_f - psi_u)) / scale < 1e-3
     pscale = np.max(np.abs(probe_u))
     assert np.max(np.abs(probe_f - probe_u)) / pscale < 1e-3
+    if variant.startswith("positions"):
+        # The two paths moved the positions identically.
+        assert np.max(np.abs(scan_u - scan_f)) < 1e-3
+
+
+def test_fused_positions_actually_move():
+    """The fused position path produces a nonzero update."""
+    _, _, _, scan_f = _run(
+        tp.LstsqOptions, fused=True, positions=True, num_iter=3
+    )
+    data, scan0, _, _ = siemens_star_subset()
+    assert np.max(np.abs(scan_f - scan0)) > 1e-4
 
 
 def test_fused_lstsq_eigen_converges():
     """Fused LSQML with OPR (eigen probe + weights) reduces the cost."""
-    costs, psi, probe = _run(tp.LstsqOptions, fused=True, eigen=True,
-                             num_iter=4)
+    costs, psi, probe, _ = _run(
+        tp.LstsqOptions, fused=True, eigen=True, num_iter=4
+    )
     assert np.all(np.isfinite(costs))
     assert costs[-1] < costs[0] / 2
     assert np.all(np.isfinite(psi)) and np.all(np.isfinite(probe))

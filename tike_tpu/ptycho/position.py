@@ -374,7 +374,13 @@ def affine_position_regularization(
 
     Mirrors `position.py:731-776`.
     """
-    updated_np = np.asarray(updated)
+    from tike_tpu.utils.transfer import to_host
+
+    # to_host, not np.asarray: direct downloads of lane-unaligned (N, 2)
+    # device arrays fail on relay-tunneled TPU backends.
+    updated_np = (
+        to_host(updated) if not isinstance(updated, np.ndarray) else updated
+    )
     new_transform, _ = estimate_global_transformation_ransac(
         positions0=np.asarray(position_options.initial_scan)
         - position_options.origin,

@@ -264,6 +264,14 @@ class Reconstruction:
     def _fused_eligible(self) -> bool:
         """Whether iterate() can run as one fused multi-epoch program."""
         p = self.parameters
+        # Position correction is fused for lstsq (the only solver that
+        # updates positions, like the reference); the RANSAC affine fit is
+        # host-side and runs once after the program (diagnostic-only when
+        # use_position_regularization is off).
+        positions_ok = p.position_options is None or (
+            p.algorithm_options.name == "lstsq_grad"
+            and not p.position_options.use_position_regularization
+        )
         return (
             (
                 p.algorithm_options.name == "rpie"
@@ -272,7 +280,7 @@ class Reconstruction:
                     and self.operator.nslices == 1
                 )
             )
-            and p.position_options is None
+            and positions_ok
             and not isinstance(self.data, np.ndarray)
             and getattr(self.data, "ndim", 0) == 4
             and p.algorithm_options.rescale_method == "mean_of_abs_object"
@@ -347,6 +355,32 @@ class Reconstruction:
             rescale_mean_abs=oopts is not None,
             rescale_period=algo.rescale_period,
             alpha=float(getattr(algo, "alpha", 0.05)),
+            recover_positions=p.position_options is not None,
+            pos_update_start=(
+                p.position_options.update_start
+                if p.position_options is not None
+                else 0
+            ),
+            pos_use_adaptive_moment=(
+                p.position_options.use_adaptive_moment
+                if p.position_options is not None
+                else False
+            ),
+            pos_vdecay=(
+                p.position_options.vdecay
+                if p.position_options is not None
+                else 0.999
+            ),
+            pos_mdecay=(
+                p.position_options.mdecay
+                if p.position_options is not None
+                else 0.9
+            ),
+            pos_update_magnitude_limit=(
+                p.position_options.update_magnitude_limit
+                if p.position_options is not None
+                else 0.0
+            ),
         )
         if compact:
             orders = np.tile(np.arange(nb, dtype=np.int32), (num_iter, 1))
@@ -357,8 +391,25 @@ class Reconstruction:
                     for _ in range(num_iter)
                 ]
             )
+        pos_v = pos_m = None
+        popt = p.position_options
+        if popt is not None and popt.use_adaptive_moment:
+            if popt._momentum is not None:
+                mom = np.asarray(popt._momentum)
+                pos_v = jnp.asarray(mom[..., 0:2])
+                pos_m = jnp.asarray(mom[..., 2:4])
         start = time.perf_counter()
-        psi, probe, eigen_probe, eigen_weights, costs, powers = iterate_program(
+        (
+            psi,
+            probe,
+            eigen_probe,
+            eigen_weights,
+            scan,
+            pos_v,
+            pos_m,
+            costs,
+            powers,
+        ) = iterate_program(
             plan,
             jnp.asarray(total_epochs0, jnp.int32),
             self.data,
@@ -374,6 +425,8 @@ class Reconstruction:
             ew.step_length_start,
             ew.step_length_weight,
             ew.unmeasured_pixels_scaling,
+            pos_v,
+            pos_m,
         )
         jax.block_until_ready(psi)
         elapsed = time.perf_counter() - start
@@ -383,6 +436,16 @@ class Reconstruction:
             p.eigen_probe = eigen_probe
         if p.eigen_weights is not None:
             p.eigen_weights = eigen_weights
+        if popt is not None:
+            p.scan = scan
+            if popt.use_adaptive_moment:
+                momentum = np.zeros((*to_host(scan).shape[:-1], 4), np.float32)
+                momentum[..., 0:2] = to_host(pos_v)
+                momentum[..., 2:4] = to_host(pos_m)
+                popt._momentum = momentum
+            # One host-side affine fit for the diagnostic transform (the
+            # per-epoch path refits every epoch; the final fit is the same).
+            self.parameters = _apply_position_constraints(self.parameters)
         costs_host = to_host(costs)
         powers_host = to_host(powers)
         for e in range(num_iter):

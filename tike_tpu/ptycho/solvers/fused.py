@@ -28,8 +28,9 @@ from tike_tpu.utils.pairs import pair_jit
 
 from .. import probe as probe_module
 from .. import object as object_module
+import tike_tpu.opt
 from ._preconditioner import _probe_precond_math, _psi_precond_math
-from .lstsq import _lstsq_batch_math, _precondition_object_update
+from .lstsq import _lstsq_batch_math, _precondition_object_update, _trim_mean
 from .rpie import _batch_gradients_math
 
 
@@ -68,6 +69,13 @@ class EpochPlan:
     rescale_mean_abs: bool
     rescale_period: int
     alpha: float
+    # position correction (lstsq only, like the reference)
+    recover_positions: bool = False
+    pos_update_start: int = 0
+    pos_use_adaptive_moment: bool = False
+    pos_vdecay: float = 0.999
+    pos_mdecay: float = 0.9
+    pos_update_magnitude_limit: float = 0.0
 
 
 def _probe_constraints_math(plan: EpochPlan, probe):
@@ -124,18 +132,20 @@ def iterate_program(
     step_length_start,
     step_length_weight,
     unmeasured_pixels_scaling,
+    pos_v=None,        # (N, 2) f32 position-adam second moment
+    pos_m=None,        # (N, 2) f32 position-adam first moment
 ):
     """Run ``plan.n_epochs`` full rPIE or LSQML epochs in one XLA program.
 
-    Returns (psi, probe, eigen_probe, eigen_weights, costs (E, nb),
-    powers (E, modes)).
+    Returns (psi, probe, eigen_probe, eigen_weights, scan, pos_v, pos_m,
+    costs (E, nb), powers (E, modes)).
     """
     cfg = plan.cfg
     nb = batch_idx.shape[0]
     alpha = jnp.asarray(plan.alpha, jnp.float32)
 
     def epoch_body(carry, e):
-        psi, probe, eigen_p, eigen_w = carry
+        psi, probe, eigen_p, eigen_w, scan, pos_v, pos_m = carry
 
         total_e = epoch0 + e
         recover_now = jnp.logical_and(
@@ -178,7 +188,16 @@ def iterate_program(
         gate = recover_now.astype(jnp.float32)
 
         def batch_step(carry2, i):
-            psi_c, probe_c, eigen_p2, eigen_w2, psi_acc, probe_acc = carry2
+            (
+                psi_c,
+                probe_c,
+                eigen_p2,
+                eigen_w2,
+                psi_acc,
+                probe_acc,
+                pos_num,
+                pos_den,
+            ) = carry2
             n = order[i]
             if plan.solver == "lstsq":
                 out = _lstsq_batch_math(
@@ -201,18 +220,28 @@ def iterate_program(
                     steplength_usemodes=plan.steplength_usemodes,
                     recover_psi=plan.recover_psi,
                     recover_probe=plan.recover_probe,
-                    recover_positions=False,
+                    recover_positions=plan.recover_positions,
                 )
                 costs = out["costs"]
+                if plan.recover_positions:
+                    pos_num = pos_num.at[batch_idx[n]].add(out["pos_num"])
+                    pos_den = pos_den.at[batch_idx[n]].add(out["pos_den"])
                 beta_obj = jnp.asarray(0.0, jnp.float32)
                 if plan.recover_psi:
-                    beta_obj = out["beta_object"].astype(jnp.float32)
+                    beta = out["beta_object"]
+                    if "beta_object_solo" in out:
+                        # On epochs where probe recovery is gated off, the
+                        # per-epoch path solves the uncoupled object step;
+                        # select the matching beta.
+                        beta = jnp.where(
+                            recover_now, beta, out["beta_object_solo"]
+                        )
+                    beta_obj = beta.astype(jnp.float32)
                     if plan.compact:
                         psi_acc = psi_acc + out["object_upd_sum"]
                     else:
                         psi_c = psi_c + (
-                            out["beta_object"]
-                            * out["object_update_precond"]
+                            beta * out["object_update_precond"]
                         )
                 if plan.recover_probe:
                     dprobe = out["beta_probe"] * out["m_probe_update"]
@@ -271,20 +300,58 @@ def iterate_program(
                 jnp.sum(batch_mask[n]), 1
             )
             return (
-                (psi_c, probe_c, eigen_p2, eigen_w2, psi_acc, probe_acc),
+                (
+                    psi_c,
+                    probe_c,
+                    eigen_p2,
+                    eigen_w2,
+                    psi_acc,
+                    probe_acc,
+                    pos_num,
+                    pos_den,
+                ),
                 (n, cost, beta_obj),
             )
 
         psi_acc0 = jnp.zeros_like(psi)
         probe_acc0 = jnp.zeros((psi.shape[0], *probe.shape), probe.dtype)
+        pos_acc0 = jnp.zeros_like(scan)
         (
-            (psi, probe, eigen_p, eigen_w, psi_acc, probe_acc),
+            (psi, probe, eigen_p, eigen_w, psi_acc, probe_acc, pos_num, pos_den),
             (ns, costs, beta_objs),
         ) = jax.lax.scan(
             batch_step,
-            (psi, probe, eigen_p, eigen_w, psi_acc0, probe_acc0),
+            (psi, probe, eigen_p, eigen_w, psi_acc0, probe_acc0, pos_acc0, pos_acc0),
             jnp.arange(nb),
         )
+        # Position update once per epoch (`lstsq.py:764-806` semantics),
+        # gated on the traced epoch predicate like the host control flow.
+        if plan.recover_positions:
+            pos_gate = total_e >= plan.pos_update_start
+            palpha = 0.05
+            step = pos_num / (
+                (1 - palpha) * pos_den
+                + palpha * jnp.maximum(pos_den.max(), 1e-6)
+            )
+            if plan.pos_update_magnitude_limit > 0:
+                step = jnp.clip(
+                    step,
+                    -plan.pos_update_magnitude_limit,
+                    plan.pos_update_magnitude_limit,
+                )
+            step = step - _trim_mean(step, 0.05, axis=0)
+            if plan.pos_use_adaptive_moment:
+                step2, v2, m2 = tike_tpu.opt.adam(
+                    step,
+                    pos_v,
+                    pos_m,
+                    vdecay=plan.pos_vdecay,
+                    mdecay=plan.pos_mdecay,
+                )
+                pos_v = jnp.where(pos_gate, v2, pos_v)
+                pos_m = jnp.where(pos_gate, m2, pos_m)
+                step = step2
+            scan = jnp.where(pos_gate, scan - step, scan)
         if plan.compact:
             if plan.solver == "lstsq":
                 if plan.recover_psi:
@@ -333,17 +400,35 @@ def iterate_program(
                 probe = probe * scale
 
         costs_by_batch = jnp.zeros(nb, costs.dtype).at[ns].set(costs)
-        return (psi, probe, eigen_p, eigen_w), (costs_by_batch, pwr)
+        return (
+            (psi, probe, eigen_p, eigen_w, scan, pos_v, pos_m),
+            (costs_by_batch, pwr),
+        )
 
     if eigen_probe is None:
         eigen_probe = jnp.zeros((), jnp.float32)
     if eigen_weights is None:
         eigen_weights = jnp.zeros((), jnp.float32)
-    (psi, probe, eigen_probe, eigen_weights), (all_costs, all_powers) = (
-        jax.lax.scan(
-            epoch_body,
-            (psi, probe, eigen_probe, eigen_weights),
-            jnp.arange(plan.n_epochs),
-        )
+    if pos_v is None:
+        pos_v = jnp.zeros_like(scan) if plan.recover_positions else jnp.zeros((), jnp.float32)
+    if pos_m is None:
+        pos_m = jnp.zeros_like(scan) if plan.recover_positions else jnp.zeros((), jnp.float32)
+    (
+        (psi, probe, eigen_probe, eigen_weights, scan, pos_v, pos_m),
+        (all_costs, all_powers),
+    ) = jax.lax.scan(
+        epoch_body,
+        (psi, probe, eigen_probe, eigen_weights, scan, pos_v, pos_m),
+        jnp.arange(plan.n_epochs),
     )
-    return psi, probe, eigen_probe, eigen_weights, all_costs, all_powers
+    return (
+        psi,
+        probe,
+        eigen_probe,
+        eigen_weights,
+        scan,
+        pos_v,
+        pos_m,
+        all_costs,
+        all_powers,
+    )

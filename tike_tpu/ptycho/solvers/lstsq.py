@@ -252,6 +252,7 @@ def _lstsq_batch_math(
         A4 = A4 + 0.5 * jnp.mean(A4, axis=-3)
 
     chi_m = chi[..., m : m + 1, :, :]
+    x1_solo = None
     if recover_psi and recover_probe:
         b1 = jnp.sum((dOP.conj() * chi_m).real, axis=(-2, -1))
         b2 = jnp.sum((dPO.conj() * chi_m).real, axis=(-2, -1))
@@ -261,6 +262,10 @@ def _lstsq_batch_math(
         determinant = jnp.where(jnp.abs(determinant) == 0, 1e-32, determinant)
         x1 = -jnp.conj(A2 * b2 - A4 * b1) / determinant
         x2 = jnp.conj(A1 * b2 - A3 * b1) / determinant
+        # The uncoupled object step, for epochs where the fused program
+        # gates probe recovery off (matches the per-epoch recover_probe=False
+        # solve exactly).
+        x1_solo = b1 / A1
     elif recover_psi:
         b1 = jnp.sum((dOP.conj() * chi_m).real, axis=(-2, -1))
         x1 = b1 / A1
@@ -276,6 +281,11 @@ def _lstsq_batch_math(
     if x1 is not None:
         step = 0.9 * jnp.maximum(0, x1[..., None, None].real)
         out["beta_object"] = (
+            jnp.sum(step * bmask[:, None, None, None, None], axis=0) / nvalid
+        )[0, 0, 0]
+    if x1_solo is not None:
+        step = 0.9 * jnp.maximum(0, x1_solo[..., None, None].real)
+        out["beta_object_solo"] = (
             jnp.sum(step * bmask[:, None, None, None, None], axis=0) / nvalid
         )[0, 0, 0]
     if x2 is not None:
@@ -376,8 +386,9 @@ def lstsq_grad(
     position_options = parameters.position_options
     object_options = parameters.object_options
     probe_options = parameters.probe_options
+    # Unified gating: update_start AND update_period (see rpie.py note).
     recover_probe = (
-        probe_options is not None and epoch >= probe_options.update_start
+        probe_options is not None and probe_options.recover_probe(epoch)
     )
     recover_psi = object_options is not None
 
@@ -396,7 +407,9 @@ def lstsq_grad(
     probe_combined_update = _zeros_like(probe)
     pos_num = jnp.zeros_like(scan) if position_options is not None else None
     pos_den = jnp.zeros_like(scan) if position_options is not None else None
-    batch_cost = np.empty(num_batch, dtype=np.float64)
+    # Device-resident per-batch costs, downloaded once per epoch (see
+    # rpie.py: a blocking scalar read per batch serializes the sweep).
+    batch_cost_dev: typing.List[jax.Array] = []
     beta_object: typing.List[float] = []
     beta_probe: typing.List[jax.Array] = []
 
@@ -441,9 +454,8 @@ def lstsq_grad(
             recover_positions=position_options is not None,
         )
         nvalid = batch_mask[n].sum()
-        batch_cost[n] = tike_tpu.utils.transfer.scalar(
-            jnp.sum(out["costs"] * bmask) / max(nvalid, 1),
-            default=float("nan"),
+        batch_cost_dev.append(
+            jnp.sum(out["costs"] * bmask) / max(nvalid, 1)
         )
 
         if recover_probe and eigen_weights is not None:
@@ -501,7 +513,8 @@ def lstsq_grad(
             scan, position_options, pos_num, pos_den, epoch=epoch
         )
 
-    algorithm_options.costs.append([float(batch_cost.mean())])
+    batch_cost = tike_tpu.utils.transfer.to_host(jnp.stack(batch_cost_dev))
+    algorithm_options.costs.append([float(np.mean(batch_cost))])
 
     if recover_psi and algorithm_options.batch_method == "compact":
         object_update_precond = pair_jit(_precondition_object_update)(

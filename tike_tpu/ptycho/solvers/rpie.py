@@ -536,8 +536,12 @@ def rpie(
     exitwave_options = parameters.exitwave_options
     object_options = parameters.object_options
     probe_options = parameters.probe_options
+    # Unified gating: both update_start and update_period are honored, the
+    # documented semantics of ProbeOptions.recover_probe (the reference's
+    # solvers check only update_start, `rpie.py:91`, diverging from its own
+    # driver; here the per-epoch and fused paths agree by construction).
     recover_probe = (
-        probe_options is not None and epoch >= probe_options.update_start
+        probe_options is not None and probe_options.recover_probe(epoch)
     )
 
     batch_idx, batch_mask = batches
@@ -599,7 +603,10 @@ def rpie(
 
     psi_update_numerator = None
     probe_update_numerator = None
-    batch_cost = np.empty(num_batch, dtype=np.float64)
+    # Per-batch costs stay device-resident scalars during the sweep and are
+    # downloaded once per epoch — a blocking device->host read per batch
+    # serializes the pipeline on latency-bound backends.
+    batch_cost_dev: typing.List[jax.Array] = []
 
     # Double-buffered host-to-device prefetch when data is host-resident
     # (the >HBM streaming mode, replacing the reference's CUDA-stream
@@ -640,8 +647,8 @@ def rpie(
             recover_probe=recover_probe,
         )
         nvalid = batch_mask[n].sum()
-        batch_cost[n] = tike_tpu.utils.transfer.scalar(
-            jnp.sum(costs * bmask) / max(nvalid, 1), default=float("nan")
+        batch_cost_dev.append(
+            jnp.sum(costs * bmask) / max(nvalid, 1)
         )
 
         if eigen_delta is not None:
@@ -670,7 +677,8 @@ def rpie(
             psi_update_numerator = None
             probe_update_numerator = None
 
-    algorithm_options.costs.append([float(batch_cost.mean())])
+    batch_cost = tike_tpu.utils.transfer.to_host(jnp.stack(batch_cost_dev))
+    algorithm_options.costs.append([float(np.mean(batch_cost))])
 
     if algorithm_options.batch_method == "compact":
         psi, probe = _update(
