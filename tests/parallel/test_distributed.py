@@ -1,0 +1,106 @@
+"""The multi-host (DCN) tier: 2-process reconstruction equivalence.
+
+The reference tests its MPI axis by running the whole suite under
+``mpiexec -n 2`` (`/root/reference/.github/workflows/unit-tests.yml:143`)
+with per-rank data striping (`mpi.py:61-92`). Here: two ``jax.distributed``
+CPU processes (2 virtual devices each) reconstruct from per-process data
+stripes; both ranks must produce identical results, and those must match a
+single-process run of the same global stripe-major program (the
+``_force_stripes`` emulation layout).
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+
+
+def _run_workers(tmp_path, port=23987):
+    worker = os.path.join(os.path.dirname(__file__), "_dist_worker.py")
+    out = str(tmp_path / "dist")
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(rank), str(port), out],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for rank in (0, 1)
+    ]
+    logs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=600)
+        logs.append(stdout.decode())
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+    return [np.load(f"{out}.{rank}.npz") for rank in (0, 1)]
+
+
+def test_two_process_reconstruction_matches_single_process(tmp_path):
+    """2 jax.distributed processes == 1 process running the same program."""
+    from ._dist_worker import build_problem, make_parameters
+    import tike_tpu.ptycho as tp
+
+    r0, r1 = _run_workers(tmp_path)
+
+    # Both ranks computed the identical (replicated) result.
+    np.testing.assert_allclose(r0["psi"], r1["psi"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(r0["probe"], r1["probe"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(r0["costs"], r1["costs"], rtol=1e-6)
+    assert np.all(np.isfinite(r0["costs"]))
+    assert r0["costs"][-1] < r0["costs"][0]
+
+    # Single-process emulation of the same 2-stripe global layout on a
+    # 4-device mesh reproduces the multi-process result.
+    from jax.sharding import Mesh
+
+    data, scan, probe, psi_shape = build_problem()
+    params = make_parameters(scan, probe, psi_shape)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("batch",))
+    with tp.Reconstruction(
+        data=data,
+        parameters=params,
+        mesh=mesh,
+        random_seed=0,
+        _force_stripes=2,
+    ) as context:
+        context.iterate(params.algorithm_options.num_iter)
+        single = context.get_result()
+
+    costs = [float(np.mean(c)) for c in single.algorithm_options.costs]
+    np.testing.assert_allclose(costs, r0["costs"], rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(single.psi), r0["psi"], rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(single.probe), r0["probe"], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_stripe_for_process_partitions_all_rows():
+    """Stripes are disjoint, cover every row, and have equal counts."""
+    import tike_tpu.parallel.distributed as dist
+
+    rng = np.random.default_rng(3)
+    scan = rng.uniform(0, 100, size=(101, 2)).astype(np.float32)
+    stripes = dist.stripe_indices(scan, 4)
+    allidx = np.sort(np.concatenate(stripes))
+    np.testing.assert_array_equal(allidx, np.arange(101))
+    sizes = [len(s) for s in stripes]
+    assert max(sizes) - min(sizes) <= 1
+    # Stripes are ordered by the row (y) coordinate.
+    maxes = [scan[s, 0].max() for s in stripes[:-1]]
+    mins = [scan[s, 0].min() for s in stripes[1:]]
+    assert all(m <= n for m, n in zip(maxes, mins))

@@ -132,6 +132,7 @@ class Reconstruction:
         mesh=None,
         store_data_on_device: typing.Optional[bool] = None,
         random_seed: typing.Optional[int] = None,
+        _force_stripes: typing.Optional[int] = None,
     ):
         if (
             np.any(np.asarray(data.shape) < 1)
@@ -143,7 +144,12 @@ class Reconstruction:
                 "It should be (N, W, H), "
                 "where N >= 1 is the number of square diffraction patterns."
             )
-        if data.shape[0] != parameters.scan.shape[0]:
+        if (
+            data.shape[0] != parameters.scan.shape[0]
+            and jax.process_count() == 1
+        ):
+            # Multi-process runs may pass only this process's data stripe
+            # (validated against the stripe length in _enter_multi_host).
             raise ValueError(
                 f"data shape {data.shape} and scan shape "
                 f"{parameters.scan.shape} are incompatible. They should have "
@@ -196,7 +202,126 @@ class Reconstruction:
                 else 1e-9
             ),
         )
+        self._seed = random_seed
         self._rng = np.random.default_rng(random_seed)
+        # Testing/advanced: emulate an N-process stripe layout on one
+        # process (same global program as a real N-process run).
+        self._force_stripes = _force_stripes
+
+    def _is_multi_host(self) -> bool:
+        """Whether this run uses the stripe-major multi-process layout."""
+        return self.mesh is not None and (
+            (
+                jax.process_count() > 1
+                and self.mesh.size == jax.device_count()
+            )
+            or self._force_stripes is not None
+        )
+
+    def _enter_multi_host(self):
+        """Multi-process setup: per-process data, one global SPMD program.
+
+        The reference's MPI axis (`mpi.py:61-92`, `comm.py:80-136`): every
+        process holds the full (small) scan and only its stripe of the
+        diffraction data; batch layouts are computed identically everywhere
+        from the full scan, the data is assembled into one globally-sharded
+        array without gathering, and the hierarchical ICI+DCN reductions are
+        GSPMD-inserted psums in the unchanged solver programs.
+        """
+        from tike_tpu.parallel import batch_sharding, distributed as dist
+        from tike_tpu.parallel import replicated_sharding
+
+        data = self.data_host
+        emulate = jax.process_count() == 1
+        n_proc = (
+            self._force_stripes if emulate else jax.process_count()
+        )
+        if self._seed is None:
+            # All processes must draw identical batch layouts and orders.
+            self._rng = np.random.default_rng(0)
+            logger.info(
+                "multi-host: no random_seed given; using 0 so all "
+                "processes agree on batch layouts"
+            )
+        scan_full = np.asarray(self.parameters_host.scan)
+        (
+            global_order,
+            batch_idx,
+            batch_mask,
+            stripe_slots,
+            self.stripe_start,
+        ) = dist.striped_batches(
+            scan_full,
+            n_proc,
+            batch_method=self.parameters_host.algorithm_options.batch_method,
+            num_batch=self.parameters_host.algorithm_options.num_batch,
+            rng=self._rng,
+            local_multiple=self.mesh.size // n_proc,
+        )
+        self.order = global_order
+        self.batches = (batch_idx, batch_mask)
+
+        seg_lengths = [len(s) for s in dist.stripe_indices(scan_full, n_proc)]
+        seg_offsets = np.cumsum([0] + seg_lengths)
+
+        def stripe_block(pid: int) -> np.ndarray:
+            """(nb, Lp, DET, DET) data block for stripe ``pid``."""
+            order_segment = global_order[
+                seg_offsets[pid] : seg_offsets[pid + 1]
+            ]
+            if data.shape[0] == scan_full.shape[0]:
+                # Convenience: full data given on every process.
+                local_ordered = data[order_segment]
+            elif data.shape[0] == seg_lengths[pid]:
+                # Production: data rows follow dist.stripe_for_process(scan).
+                local_idx = dist.stripe_for_process(
+                    scan_full, num_processes=n_proc, process_id=pid
+                )
+                lookup = np.full(scan_full.shape[0], -1, np.int64)
+                lookup[local_idx] = np.arange(len(local_idx))
+                rows = lookup[order_segment]
+                assert np.all(rows >= 0), (
+                    "local data rows do not match stripe_for_process(scan)"
+                )
+                local_ordered = data[rows]
+            else:
+                raise ValueError(
+                    f"data has {data.shape[0]} patterns but this process's "
+                    f"stripe has {seg_lengths[pid]} (or pass the full "
+                    f"{scan_full.shape[0]})."
+                )
+            idx_p, _ = stripe_slots[pid]
+            return np.ascontiguousarray(local_ordered[idx_p].astype(floating))
+
+        if emulate:
+            # Single-process emulation: all stripes assembled locally,
+            # sharded like the real multi-process layout.
+            global_block = np.concatenate(
+                [stripe_block(p) for p in range(n_proc)], axis=1
+            )
+            self.data = jax.device_put(
+                jnp.asarray(global_block), batch_sharding(self.mesh, axis=1)
+            )
+        else:
+            self.data = dist.make_global_batch_data(
+                self.mesh, stripe_block(jax.process_index()), n_proc
+            )
+        self.store_data_on_device = True
+
+        parameters = PtychoParameters.split(
+            self.order, x=self.parameters_host
+        )
+        self.parameters = parameters.copy_to_device(
+            replicated_sharding(self.mesh)
+        )
+        if (
+            self.parameters.probe_options is not None
+            and self.parameters.probe_options.init_rescale_from_measurements
+        ):
+            self.parameters = _rescale_probe(
+                self.operator, self.data, self.batches, self.parameters
+            )
+        return self
 
     def __enter__(self):
         data = self.data_host
@@ -206,6 +331,8 @@ class Reconstruction:
                 "All data should be non-negative and finite.",
                 UserWarning,
             )
+        if self._is_multi_host():
+            return self._enter_multi_host()
 
         # Order the data by batches (contiguous in device memory like the
         # reference, `ptycho.py:371-396`) and build fixed-size batch indices.
