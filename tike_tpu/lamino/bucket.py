@@ -49,9 +49,18 @@ def reconstruct(
     num_gpu=1,
     obj_split=1,
     use_mpi=False,
+    mesh=None,
     **kwargs,
 ):
-    """Solve the laminography problem with the Bucket operator."""
+    """Solve the laminography problem with the Bucket operator.
+
+    Volume model parallelism (the reference's ``obj_split``,
+    `lamino/bucket.py:132-147`): pass ``obj_split > 1`` (shards the volume
+    over the first ``obj_split`` local devices) or an explicit ``mesh``
+    whose single axis shards the volume's first dimension. Each device owns
+    an x-slab of voxels; partial projections are psum-reduced and gradients
+    stay owner-local (see ops.bucket.sharded_bucket_ops).
+    """
     n = data.shape[2]
     obj = np.zeros([n, n, n], dtype="complex64") if obj is None else obj
     if algorithm not in solvers.__all__:
@@ -59,9 +68,40 @@ def reconstruct(
             "The '{}' algorithm is not an available.".format(algorithm)
         )
     cfg = BucketConfig.from_eps(n=n, tilt=float(tilt), eps=eps)
-    grid = jnp.asarray(make_grid(n))
     data_d = jnp.asarray(data, dtype=jnp.complex64)
     theta_d = jnp.asarray(theta, dtype=jnp.float32)
+
+    if mesh is None and obj_split > 1:
+        from tike_tpu.parallel import make_mesh
+
+        mesh = make_mesh(obj_split)
+    if mesh is not None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tike_tpu.ops.bucket import make_grid_full, sharded_bucket_ops
+
+        axis = mesh.axis_names[0]
+        if n % mesh.size != 0:
+            raise ValueError(
+                f"volume side {n} must divide the mesh size {mesh.size}"
+            )
+        vol_sharding = NamedSharding(mesh, P(axis))
+        rep = NamedSharding(mesh, P())
+        grid = jax.device_put(jnp.asarray(make_grid_full(n)), vol_sharding)
+        data_d = jax.device_put(data_d, rep)
+        theta_d = jax.device_put(theta_d, rep)
+        obj = jax.device_put(jnp.asarray(obj, dtype=jnp.complex64),
+                             vol_sharding)
+        fwd_op_sharded, adj_op_sharded = sharded_bucket_ops(cfg, mesh, axis)
+        kwargs.setdefault(
+            "fwd_op", lambda u: fwd_op_sharded(u, theta_d, grid)
+        )
+        kwargs.setdefault(
+            "adj_op", lambda d: adj_op_sharded(d, theta_d, grid)
+        )
+    else:
+        grid = jnp.asarray(make_grid(n))
 
     logger.info(
         "{} on {:,d} by {:,d} by {:,d} volume for {:,d} "

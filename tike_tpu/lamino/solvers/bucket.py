@@ -25,20 +25,6 @@ from tike_tpu.ops.bucket import (
 logger = logging.getLogger(__name__)
 
 
-def _estimate_step_length(cfg, obj, fwd_data, theta, grid):
-    """Step length scale = 2 |F* F m| / |m| (`solvers/bucket.py:9-38`)."""
-    from tike_tpu.utils.transfer import scalar
-    import numpy as _np
-
-    outnback = bucket_adj(cfg, fwd_data, theta, grid)
-    s = scalar(
-        2 * tike_tpu.linalg.norm(outnback)
-        / (tike_tpu.linalg.norm(obj) + 1e-32),
-        default=float("nan"),
-    )
-    return s if _np.isfinite(s) and s > 0 else 1.0
-
-
 def bucket(
     cfg: BucketConfig,
     data,
@@ -47,17 +33,41 @@ def bucket(
     grid,
     cg_iter=4,
     step_length=1,
+    fwd_op=None,
+    adj_op=None,
     **kwargs,
 ):
-    """One outer CG iteration for the Bucket laminography problem."""
+    """One outer CG iteration for the Bucket laminography problem.
+
+    ``fwd_op``/``adj_op`` default to the single-device operators; the
+    volume-model-parallel driver injects the shard_map pair from
+    ``tike_tpu.ops.bucket.sharded_bucket_ops`` (the reference's obj_split
+    path, `lamino/solvers/bucket.py:41-172`).
+    """
     nz = obj.shape[0]
 
-    def fwd_op(u):
-        return bucket_fwd(cfg, u, theta, grid)
+    if fwd_op is None:
+
+        def fwd_op(u):
+            return bucket_fwd(cfg, u, theta, grid)
+
+    if adj_op is None:
+
+        def adj_op(d):
+            return bucket_adj(cfg, d, theta, grid)
 
     fwd_data = fwd_op(obj)
     if step_length == 1:
-        step_length = _estimate_step_length(cfg, obj, fwd_data, theta, grid)
+        from tike_tpu.utils.transfer import scalar as _scalar
+        import numpy as _np
+
+        s = _scalar(
+            2
+            * tike_tpu.linalg.norm(adj_op(fwd_data))
+            / (tike_tpu.linalg.norm(obj) + 1e-32),
+            default=float("nan"),
+        )
+        step_length = s if _np.isfinite(s) and s > 0 else 1.0
 
     def cost_function(u):
         from tike_tpu.utils.transfer import scalar
@@ -65,9 +75,10 @@ def bucket(
         return scalar(bucket_cost(data, fwd_op(u)))
 
     def grad(u):
-        return bucket_grad(cfg, data, theta, fwd_op(u), grid).reshape(
-            u.shape
-        )
+        ntheta = data.shape[-3]
+        return (
+            adj_op(fwd_op(u) - data) / (ntheta * cfg.n**3)
+        ).reshape(u.shape)
 
     obj, cost = tike_tpu.opt.conjugate_gradient(
         None,

@@ -133,6 +133,70 @@ def bucket_adj(cfg: BucketConfig, data, theta, grid):
     return jax.lax.complex(u[:, 0], u[:, 1]).astype(data.dtype)
 
 
+def make_grid_full(n: int) -> np.ndarray:
+    """The (n, n, n, 3) origin-centered voxel coordinate lattice.
+
+    Sharding axis 0 of this array (and of the volume) over a mesh axis
+    yields exactly the per-rank chunks of ``make_grid(n, size, rank)`` —
+    x-slabs in C order — so the sharded and chunked formulations agree.
+    """
+    lo, hi = -n // 2, n // 2
+    return np.stack(np.mgrid[lo:hi, lo:hi, lo:hi], axis=-1).astype(np.int32)
+
+
+def sharded_bucket_ops(cfg: BucketConfig, mesh, axis: str):
+    """Volume-model-parallel fwd/adj/grad over a mesh axis.
+
+    The reference's ``obj_split`` device groups hold volume chunks and
+    Allreduce their partial projections
+    (`/root/reference/src/tike/lamino/solvers/bucket.py:34-54`,
+    `operators/cupy/bucket.py:267-274`); here each device owns an x-slab of
+    the volume (axis 0 sharded), scatters its voxels' contributions into a
+    full detector plane, and a single ``psum`` over the mesh axis reproduces
+    the grouped Allreduce. The adjoint needs no collective: each device
+    gathers only its own voxels from the (replicated) projections — the
+    owner-local gradients of the reference's strided ``reduce_gpu``.
+
+    Returns ``(fwd, adj)`` acting on ((n, n, n) volume sharded on axis 0,
+    replicated theta/data, (n, n, n, 3) grid sharded on axis 0).
+    """
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    def _fwd_local(u, theta, grid4):
+        return bucket_fwd(cfg, u.reshape(-1), theta, grid4.reshape(-1, 3))
+
+    def _adj_local(data, theta, grid4):
+        out = bucket_adj(cfg, data, theta, grid4.reshape(-1, 3))
+        return out.reshape(grid4.shape[:3])
+
+    # check_vma=False: the scatter-accumulate scan inside bucket_fwd seeds
+    # its carry with an unvarying zeros array, which jax's varying-axis
+    # tracking rejects inside shard_map even though the computation is
+    # correct (each device accumulates only its own voxels).
+    fwd = jax.jit(
+        jax.shard_map(
+            lambda u, theta, grid4: jax.lax.psum(
+                _fwd_local(u, theta, grid4), axis
+            ),
+            mesh=mesh,
+            in_specs=(P(axis), P(), P(axis)),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+    adj = jax.jit(
+        jax.shard_map(
+            _adj_local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(axis)),
+            out_specs=P(axis),
+            check_vma=False,
+        )
+    )
+    return fwd, adj
+
+
 def bucket_cost(data, fwd_data):
     """Least-squares cost (`bucket.py:252-254`)."""
     diff = fwd_data - data
