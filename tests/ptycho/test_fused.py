@@ -24,6 +24,7 @@ def _run(
     update_period: int = 1,
     positions: bool = False,
     positions_adam: bool = False,
+    convergence_window: int = 0,
 ):
     data, scan, probe, psi = siemens_star_subset()
     kwargs = {}
@@ -45,7 +46,10 @@ def _run(
         probe=probe,
         scan=scan,
         algorithm_options=algo_cls(
-            num_iter=num_iter, num_batch=4, batch_method="compact"
+            num_iter=num_iter,
+            num_batch=4,
+            batch_method="compact",
+            convergence_window=convergence_window,
         ),
         object_options=tp.ObjectOptions(),
         probe_options=tp.ProbeOptions(update_period=update_period),
@@ -104,6 +108,26 @@ def test_fused_positions_actually_move():
     )
     data, scan0, _, _ = siemens_star_subset()
     assert np.max(np.abs(scan_f - scan0)) > 1e-4
+
+
+def test_fused_convergence_window_chunks_match():
+    """Chunked fused runs (convergence_window early-stop path) == one run.
+
+    With the compact batch method the batch order is deterministic, so
+    running 4 epochs as two 2-epoch fused programs must reproduce the
+    single 4-epoch program exactly; the cost history also feeds
+    tike_tpu.opt.is_converged between chunks.
+    """
+    c1, psi1, probe1, _ = _run(tp.RpieOptions, fused=True, num_iter=4)
+    c2, psi2, probe2, _ = _run(
+        tp.RpieOptions, fused=True, num_iter=4, convergence_window=4
+    )
+    assert len(c2) <= len(c1)  # early stop may trigger, never overruns
+    n = len(c2)
+    np.testing.assert_allclose(c1[:n], c2, rtol=1e-5)
+    if n == len(c1):
+        np.testing.assert_allclose(psi1, psi2, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(probe1, probe2, rtol=1e-5, atol=1e-6)
 
 
 def test_fused_lstsq_eigen_converges():

@@ -172,3 +172,63 @@ class TestRandom:
         assert x.dtype == np.complex64
         assert np.abs(x.real).max() <= 0.5
         assert np.abs(x.imag).max() <= 0.5
+
+
+class TestResizeInterpolators:
+    """Multigrid resample interpolator family (`options.py:333-366`)."""
+
+    def _roundtrip(self, fn):
+        rng = np.random.default_rng(3)
+        x = (
+            rng.standard_normal((2, 16, 16))
+            + 1j * rng.standard_normal((2, 16, 16))
+        ).astype(np.complex64)
+        up = fn(x, 2.0)
+        assert up.shape == (2, 32, 32)
+        down = fn(up, 0.5)
+        assert down.shape == x.shape
+        # Up-then-down preserves smooth content approximately.
+        err = np.abs(down - x).mean() / np.abs(x).mean()
+        assert err < 0.5, err
+
+    def test_linear(self):
+        from tike_tpu.ptycho.solvers.options import _resize_linear
+
+        self._roundtrip(_resize_linear)
+
+    def test_cubic(self):
+        from tike_tpu.ptycho.solvers.options import _resize_cubic
+
+        self._roundtrip(_resize_cubic)
+
+    def test_lanczos(self):
+        from tike_tpu.ptycho.solvers.options import _resize_lanczos
+
+        self._roundtrip(_resize_lanczos)
+
+    def test_fft_matches_shape(self):
+        from tike_tpu.ptycho.solvers.options import _resize_fft
+
+        self._roundtrip(_resize_fft)
+
+
+class TestFarnebackRescale:
+    def test_rescale_8bit_range_and_contrast(self):
+        from tike_tpu.align.solvers.farneback import _rescale_8bit
+
+        rng = np.random.default_rng(0)
+        b = rng.normal(10.0, 2.0, (64, 64)).astype(np.float32)
+        b[0, 0] = 1e6  # outlier must not crush the contrast window
+        a = b + 1.0
+        a8, b8 = _rescale_8bit(a, b)
+        assert a8.min() >= 0 and a8.max() <= 255
+        assert b8.min() >= 0 and b8.max() <= 255
+        # The bulk of the data should span most of the 8-bit range.
+        assert np.percentile(b8, 99) - np.percentile(b8, 1) > 100
+
+    def test_rescale_8bit_explicit_window(self):
+        from tike_tpu.align.solvers.farneback import _rescale_8bit
+
+        a = np.linspace(0, 10, 100, dtype=np.float32)
+        a8, b8 = _rescale_8bit(a, a, hi=10.0, lo=0.0)
+        np.testing.assert_allclose(a8, np.linspace(0, 255, 100), rtol=1e-5)

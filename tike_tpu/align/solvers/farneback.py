@@ -12,18 +12,20 @@ import numpy as np
 
 
 def _rescale_8bit(a, b, hi=None, lo=None):
-    """Rescale a, b into the same 8-bit range (histogram-clipped)."""
+    """Map a, b onto a shared robust 8-bit range estimated from b.
+
+    Farneback operates on 8-bit images, so both frames must share one
+    contrast window. When no window is given, it is estimated from b by
+    discarding the sparsely-populated intensity tails (outlier pixels would
+    otherwise compress all real contrast into a few grey levels).
+    """
     if hi is None or lo is None:
-        h, e = np.histogram(b, 1000)
-        stend = np.where(h > np.max(h) * 0.005)
-        st = stend[0][0]
-        end = stend[0][-1]
-        lo = e[st]
-        hi = e[end + 1]
-    a = 255 * (a - lo) / (hi - lo)
-    b = 255 * (b - lo) / (hi - lo)
-    a = np.clip(a, 0, 255)
-    b = np.clip(b, 0, 255)
+        lo, hi = np.quantile(b, (0.001, 0.999))
+        if hi <= lo:
+            lo, hi = float(np.min(b)), float(np.max(b))
+    span = hi - lo if hi > lo else 1.0
+    a = np.clip(255 * (a - lo) / span, 0, 255)
+    b = np.clip(255 * (b - lo) / span, 0, 255)
     return a, b
 
 

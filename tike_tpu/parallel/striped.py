@@ -10,18 +10,19 @@ in `/root/reference/src/tike`).
 Design here: one `shard_map` over the device mesh. Every device owns
 
 - a local psi window of R = Hs + 2*halo rows (stripe height Hs = ceil(H/n),
-  halo >= probe_width + 1 so every local window read/write stays in-bounds),
+  halo >= probe_width + 1 so every local window read/write stays in-bounds;
+  the extra margin absorbs fractional offsets and position drift),
 - its stripe's diffraction patterns and scan positions (rebased to local
   row coordinates, padded to a common count with a validity mask).
 
-Each epoch runs the compact rPIE update locally (preconditioners, batch
-gradient, object update), all-reduces the probe numerator/preconditioner
-across the mesh (`psum`, the reference's Allreduce_mean), and reconciles
-the 2*halo seam rows with the neighbor via `ppermute` + linear cross-fade
-(both neighbors compute the identical blend, so the duplicated state stays
-consistent). The default replicated path remains preferred when psi fits
-in HBM; this module is the scaling path for objects larger than per-chip
-HBM, and the TPU analog of the reference's multi-GPU psi decomposition.
+Each epoch runs the solver update locally (rPIE compact numerators, or the
+LSQML joint-step update), reconciles the probe across the mesh (`psum`, the
+reference's Allreduce_mean, `comm.py:96-110`), and blends the 2*halo seam
+rows with the neighbor via `ppermute` + linear cross-fade (both neighbors
+compute the identical blend, so the duplicated state stays consistent).
+The replicated path remains the default when psi fits in HBM; this module
+is the scaling path for objects larger than per-chip HBM and is reachable
+from the public driver via ``Reconstruction(..., object_sharding="striped")``.
 """
 
 from __future__ import annotations
@@ -41,6 +42,7 @@ from tike_tpu.ptycho.solvers._preconditioner import (
     _psi_precond_math,
 )
 from tike_tpu.ptycho.solvers.rpie import _batch_gradients_math
+from tike_tpu.ptycho.solvers.lstsq import _lstsq_batch_math
 from tike_tpu.utils.pairs import pair_jit
 from tike_tpu.utils.transfer import to_host
 
@@ -68,11 +70,17 @@ def plan_stripes(
     object_shape: typing.Tuple[int, int],
     probe_width: int,
     ndev: int,
+    position_margin: int = 8,
 ) -> StripePlan:
-    """Assign scan positions to row stripes (`cluster.py:176-262` analog)."""
+    """Assign scan positions to row stripes (`cluster.py:176-262` analog).
+
+    ``position_margin`` extends the halo beyond the probe footprint so that
+    fractional offsets and (bounded) position-correction drift never read
+    or write outside the local window.
+    """
     h, w = object_shape
     hs = -(-h // ndev)
-    halo = probe_width + 8
+    halo = probe_width + 1 + max(int(position_margin), 1)
     assignment = np.clip(
         (np.floor(scan[:, 0]).astype(np.int64)) // hs, 0, ndev - 1
     )
@@ -146,6 +154,8 @@ def _striped_epoch_math(
     plan_hs: int,
     ndev: int,
     alpha: float,
+    solver: str,
+    noise_model: str,
     data,  # (cap, det, det) local
     scan,  # (cap, 2) local
     mask,  # (cap,)
@@ -153,42 +163,83 @@ def _striped_epoch_math(
     probe,
     measured_pixels,
 ):
-    """One compact rPIE epoch on this device's stripe (inside shard_map)."""
+    """One solver epoch on this device's stripe (inside shard_map)."""
     idx = jnp.arange(scan.shape[0], dtype=jnp.int32)
     nvalid = jnp.maximum(jnp.sum(mask), 1.0)
 
     psi_pre = _psi_precond_math(cfg, psi, scan, probe, mask)
-    probe_pre = _probe_precond_math(cfg, psi, scan, mask)
-    probe_pre = jax.lax.psum(probe_pre, BATCH_AXIS)
 
-    costs, psi_num, probe_num, _ = _batch_gradients_math(
-        cfg,
-        data,
-        scan,
-        idx,
-        mask,
-        psi,
-        probe,
-        None,
-        None,
-        measured_pixels,
-        0.5,
-        0.5,
-        1.0,
-        noise_model="gaussian",
-        steplength_usemodes="all_modes",
-        recover_probe=True,
-    )
-    # Probe numerator: mean over devices weighted by valid counts
-    # (the reference's Allreduce_mean, `comm.py:96-110`).
-    probe_num = jax.lax.psum(probe_num, BATCH_AXIS)
-
-    deno = (1 - alpha) * psi_pre + alpha * jnp.abs(psi_pre).max(
-        axis=(-2, -1), keepdims=True
-    )
-    psi = psi + psi_num / deno
-    ppre = jnp.abs(probe_pre[0])
-    probe = probe + probe_num[0] / ((1 - alpha) * ppre + alpha * ppre.max())
+    if solver == "lstsq":
+        # LSQML joint-step update on this stripe's positions. Betas are
+        # estimated per stripe (each reference GPU solves its own 2x2
+        # systems); the probe is reconciled after the local update.
+        out = _lstsq_batch_math(
+            cfg,
+            data,
+            scan,
+            idx,
+            mask,
+            psi,
+            probe,
+            None,
+            None,
+            measured_pixels,
+            psi_pre,
+            0.5,
+            0.5,
+            1.0,
+            num_batch=1.0,
+            noise_model=noise_model,
+            steplength_usemodes="all_modes",
+            recover_psi=True,
+            recover_probe=True,
+            recover_positions=False,
+        )
+        costs = out["costs"]
+        # Empty stripes (no scan positions land in this device's rows)
+        # produce 0/0 in the preconditioned update; contribute nothing.
+        dpsi = out["beta_object"] * out["object_update_precond"]
+        psi = psi + jnp.where(jnp.isfinite(dpsi), dpsi, 0)
+        dprobe = out["beta_probe"] * out["m_probe_update"]
+        probe_new = probe + jnp.where(jnp.isfinite(dprobe), dprobe, 0)
+        # Weighted mean over stripes (the reference's Allreduce_mean).
+        probe = jax.lax.psum(probe_new * nvalid, BATCH_AXIS) / jax.lax.psum(
+            nvalid, BATCH_AXIS
+        )
+    else:
+        probe_pre = _probe_precond_math(cfg, psi, scan, mask)
+        probe_pre = jax.lax.psum(probe_pre, BATCH_AXIS)
+        costs, psi_num, probe_num, _ = _batch_gradients_math(
+            cfg,
+            data,
+            scan,
+            idx,
+            mask,
+            psi,
+            probe,
+            None,
+            None,
+            measured_pixels,
+            0.5,
+            0.5,
+            1.0,
+            noise_model=noise_model,
+            steplength_usemodes="all_modes",
+            recover_probe=True,
+        )
+        # Probe numerator summed over devices (the reference's Allreduce).
+        probe_num = jax.lax.psum(probe_num, BATCH_AXIS)
+        deno = (1 - alpha) * psi_pre + alpha * jnp.abs(psi_pre).max(
+            axis=(-2, -1), keepdims=True
+        )
+        # Empty stripes have an all-zero preconditioner; contribute nothing
+        # rather than 0/0.
+        ok = jnp.abs(deno) > 0
+        psi = psi + jnp.where(ok, psi_num / jnp.where(ok, deno, 1), 0)
+        ppre = jnp.abs(probe_pre[0])
+        probe = probe + probe_num[0] / (
+            (1 - alpha) * ppre + alpha * ppre.max()
+        )
 
     cost = jax.lax.psum(jnp.sum(costs * mask), BATCH_AXIS) / jax.lax.psum(
         nvalid, BATCH_AXIS
@@ -219,30 +270,86 @@ def _striped_epoch_math(
     return psi, probe, cost
 
 
-def reconstruct_striped(
+@dataclasses.dataclass
+class StripedState:
+    """Device-resident state of a striped reconstruction in progress."""
+
+    plan: StripePlan
+    cfg: PtychoConfig
+    epoch_fn: typing.Callable
+    psi: jax.Array  # (ndev, D, R, W) device-sharded local windows
+    probe: jax.Array
+    data: jax.Array
+    scan: jax.Array
+    mask: jax.Array
+    height: int  # global object rows (for stitching)
+
+
+def estimate_probe_rescale(
+    data: np.ndarray,
+    psi: np.ndarray,
+    probe: np.ndarray,
+    scan: np.ndarray,
+    sample: int = 256,
+    rng: typing.Optional[np.random.Generator] = None,
+) -> float:
+    """Host-side probe power rescale factor (`ptycho/ptycho.py:873-972`).
+
+    By Parseval (ortho-norm FFT), the modeled far-field energy of a
+    position equals sum_px |patch|^2 * sum_modes |probe|^2, so the rescale
+    sqrt(sum data / sum model) is computed from bilinear patches alone --
+    no forward FFT and no device-resident full object, which matters in
+    striped mode where psi never materializes on one device.
+    """
+    rng = np.random.default_rng(0) if rng is None else rng
+    n = scan.shape[0]
+    sel = (
+        np.arange(n)
+        if n <= sample
+        else rng.choice(n, size=sample, replace=False)
+    )
+    p = probe.shape[-1]
+    probe_power = np.sum(np.abs(probe[0, 0]) ** 2, axis=0)  # (P, P)
+    corner = np.floor(scan[sel]).astype(np.int64)
+    frac = scan[sel] - corner
+    model = 0.0
+    for c, f in zip(corner, frac):
+        win = psi[0, c[0] : c[0] + p + 1, c[1] : c[1] + p + 1]
+        fy, fx = f
+        patch = (
+            (1 - fy) * (1 - fx) * win[:-1, :-1]
+            + (1 - fy) * fx * win[:-1, 1:]
+            + fy * (1 - fx) * win[1:, :-1]
+            + fy * fx * win[1:, 1:]
+        )
+        model += float(np.sum(np.abs(patch) ** 2 * probe_power))
+    measured = float(np.sum(data[sel]))
+    return float(np.sqrt(measured / (model + 1e-32)))
+
+
+def setup_striped(
     data: np.ndarray,
     psi: np.ndarray,
     probe: np.ndarray,
     scan: np.ndarray,
     *,
     mesh: Mesh,
-    num_iter: int,
+    solver: str = "rpie",
+    noise_model: str = "gaussian",
     alpha: float = 0.05,
-) -> typing.Tuple[np.ndarray, np.ndarray, list]:
-    """Row-striped compact-rPIE reconstruction over a device mesh.
-
-    The scaling path for objects larger than per-chip HBM: psi lives only as
-    per-device stripes; probe is replicated and all-reduced. Supports the
-    compact rPIE/gaussian configuration (the reference's multi-GPU default).
-
-    Returns (stitched psi (D, H, W), probe, costs per epoch).
-    """
+    position_margin: int = 8,
+) -> StripedState:
+    """Shard the problem into row stripes and compile the epoch program."""
+    if solver not in ("rpie", "lstsq"):
+        raise ValueError(f"striped mode supports rpie/lstsq, not {solver!r}")
     ndev = mesh.size
     d, h, w = psi.shape
     p = probe.shape[-1]
-    plan = plan_stripes(np.asarray(scan), (h, w), p, ndev)
+    plan = plan_stripes(
+        np.asarray(scan), (h, w), p, ndev, position_margin=position_margin
+    )
     data_s, scan_s, mask_s, psi_s = _shard_inputs(
-        plan, np.asarray(data), np.asarray(scan), psi
+        plan, np.asarray(data), np.asarray(scan), np.asarray(psi)
     )
     cfg = PtychoConfig(
         probe_shape=p,
@@ -262,6 +369,8 @@ def reconstruct_striped(
             plan.stripe_height,
             ndev,
             alpha,
+            solver,
+            noise_model,
             data_b[0],
             scan_b[0],
             mask_b[0],
@@ -285,18 +394,68 @@ def reconstruct_striped(
     )
 
     sharding = NamedSharding(mesh, dev)
-    psi_dev = jax.device_put(jnp.asarray(psi_s), sharding)
-    data_dev = jax.device_put(jnp.asarray(data_s), sharding)
-    scan_dev = jax.device_put(jnp.asarray(scan_s), sharding)
-    mask_dev = jax.device_put(jnp.asarray(mask_s), sharding)
-    probe_dev = jnp.asarray(probe)
+    return StripedState(
+        plan=plan,
+        cfg=cfg,
+        epoch_fn=epoch_sm,
+        psi=jax.device_put(jnp.asarray(psi_s), sharding),
+        probe=jnp.asarray(probe),
+        data=jax.device_put(jnp.asarray(data_s), sharding),
+        scan=jax.device_put(jnp.asarray(scan_s), sharding),
+        mask=jax.device_put(jnp.asarray(mask_s), sharding),
+        height=h,
+    )
 
-    costs = []
-    for _ in range(num_iter):
-        psi_dev, probe_dev, cost = epoch_sm(
-            data_dev, scan_dev, mask_dev, psi_dev, probe_dev
-        )
-        costs.append(float(to_host(jnp.reshape(cost, (1,)))[0]))
 
-    psi_host = to_host(psi_dev)
-    return stitch(plan, psi_host, h), to_host(probe_dev), costs
+def striped_epoch(state: StripedState) -> float:
+    """Advance one epoch in place; return the mean cost."""
+    state.psi, state.probe, cost = state.epoch_fn(
+        state.data, state.scan, state.mask, state.psi, state.probe
+    )
+    return float(to_host(jnp.reshape(cost, (1,)))[0])
+
+
+def striped_result(
+    state: StripedState,
+) -> typing.Tuple[np.ndarray, np.ndarray]:
+    """Stitch the stripes back into (psi (D, H, W), probe)."""
+    return (
+        stitch(state.plan, to_host(state.psi), state.height),
+        to_host(state.probe),
+    )
+
+
+def reconstruct_striped(
+    data: np.ndarray,
+    psi: np.ndarray,
+    probe: np.ndarray,
+    scan: np.ndarray,
+    *,
+    mesh: Mesh,
+    num_iter: int,
+    solver: str = "rpie",
+    noise_model: str = "gaussian",
+    alpha: float = 0.05,
+) -> typing.Tuple[np.ndarray, np.ndarray, list]:
+    """Row-striped reconstruction over a device mesh (functional API).
+
+    The scaling path for objects larger than per-chip HBM: psi lives only as
+    per-device stripes; the probe is replicated and all-reduced. Supports
+    the compact rPIE and LSQML gaussian/poisson configurations with
+    multi-mode probes (the reference's multi-GPU default behavior).
+
+    Returns (stitched psi (D, H, W), probe, costs per epoch).
+    """
+    state = setup_striped(
+        data,
+        np.asarray(psi),
+        probe,
+        scan,
+        mesh=mesh,
+        solver=solver,
+        noise_model=noise_model,
+        alpha=alpha,
+    )
+    costs = [striped_epoch(state) for _ in range(num_iter)]
+    psi_out, probe_out = striped_result(state)
+    return psi_out, probe_out, costs

@@ -132,8 +132,17 @@ class Reconstruction:
         mesh=None,
         store_data_on_device: typing.Optional[bool] = None,
         random_seed: typing.Optional[int] = None,
+        object_sharding: str = "replicated",
         _force_stripes: typing.Optional[int] = None,
     ):
+        if object_sharding not in ("replicated", "striped"):
+            raise ValueError(
+                "object_sharding must be 'replicated' or 'striped', "
+                f"not {object_sharding!r}"
+            )
+        if object_sharding == "striped" and mesh is None:
+            raise ValueError("object_sharding='striped' requires a mesh")
+        self.object_sharding = object_sharding
         if (
             np.any(np.asarray(data.shape) < 1)
             or data.ndim != 3
@@ -323,6 +332,65 @@ class Reconstruction:
             )
         return self
 
+    def _enter_striped(self):
+        """Row-striped object decomposition (`parallel/striped.py`).
+
+        The reference's default multi-GPU behavior: each device owns a row
+        stripe of psi plus its scan positions; probe is all-reduced and the
+        halo rows cross-faded every epoch (`ptycho/ptycho.py:371-396,
+        491-502` in the reference).
+        """
+        from tike_tpu.parallel import striped
+
+        p = self.parameters_host
+        if p.psi.shape[0] != 1:
+            raise ValueError("striped mode is single-slice")
+        if p.eigen_probe is not None or p.eigen_weights is not None:
+            raise ValueError(
+                "striped mode does not support variable (eigen) probes; "
+                "use the replicated object path"
+            )
+        if p.position_options is not None:
+            raise ValueError(
+                "striped mode does not support position correction; "
+                "use the replicated object path"
+            )
+        solver = (
+            "lstsq" if p.algorithm_options.name == "lstsq_grad" else "rpie"
+        )
+        margin = 8
+        probe = np.asarray(p.probe)
+        if (
+            p.probe_options is not None
+            and p.probe_options.init_rescale_from_measurements
+        ):
+            scale = striped.estimate_probe_rescale(
+                np.asarray(self.data_host),
+                np.asarray(p.psi),
+                probe,
+                np.asarray(p.scan),
+                rng=self._rng,
+            )
+            logger.info("Probe rescaled by %f (striped mode)", scale)
+            probe = probe * scale
+        self._striped = striped.setup_striped(
+            np.asarray(self.data_host),
+            np.asarray(p.psi),
+            probe,
+            np.asarray(p.scan),
+            mesh=self.mesh,
+            solver=solver,
+            noise_model=p.exitwave_options.noise_model
+            if p.exitwave_options is not None
+            else "gaussian",
+            alpha=float(getattr(p.algorithm_options, "alpha", 0.05)),
+            position_margin=margin,
+        )
+        self.parameters = copy.deepcopy(p)
+        self.order = np.arange(p.scan.shape[0])
+        self.stripe_start = None
+        return self
+
     def __enter__(self):
         data = self.data_host
         if not np.all(np.isfinite(data)) or np.any(data < 0):
@@ -331,6 +399,8 @@ class Reconstruction:
                 "All data should be non-negative and finite.",
                 UserWarning,
             )
+        if self.object_sharding == "striped":
+            return self._enter_striped()
         if self._is_multi_host():
             return self._enter_multi_host()
 
@@ -588,9 +658,47 @@ class Reconstruction:
         )
 
     def iterate(self, num_iter: int) -> None:
-        """Advance the reconstruction by num_iter epochs."""
+        """Advance the reconstruction by num_iter epochs.
+
+        When ``algorithm_options.convergence_window >= 2`` the epoch loop
+        stops early once the cost slope over the window is non-negative
+        (`opt.py:21-43` wired into the driver).
+        """
+        from tike_tpu.opt import is_converged
+
+        algo = self.parameters.algorithm_options
+        if self.object_sharding == "striped":
+            from tike_tpu.parallel import striped
+
+            start = time.perf_counter()
+            for _ in range(num_iter):
+                if np.sum(algo.times) > algo.time_limit:
+                    logger.info("Maximum reconstruction time exceeded.")
+                    break
+                cost = striped.striped_epoch(self._striped)
+                algo.costs.append([cost])
+                algo.times.append(time.perf_counter() - start)
+                start = time.perf_counter()
+                logger.info("striped cost is %+1.3e", cost)
+                if is_converged(algo):
+                    break
+            return
         if num_iter > 0 and self._fused_eligible():
-            return self._iterate_fused(num_iter)
+            window = algo.convergence_window
+            if window < 2:
+                return self._iterate_fused(num_iter)
+            # Early stopping needs the cost history on the host, so run the
+            # fused program in window//2-epoch chunks and test between
+            # chunks (at most two distinct chunk lengths get compiled).
+            chunk = max(1, window // 2)
+            done = 0
+            while done < num_iter:
+                step = min(chunk, num_iter - done)
+                self._iterate_fused(step)
+                done += step
+                if is_converged(algo):
+                    return
+            return
         start = time.perf_counter()
         for _ in range(num_iter):
             if (
@@ -632,6 +740,8 @@ class Reconstruction:
                 self.parameters.exitwave_options.noise_model,
                 np.mean(self.parameters.algorithm_options.costs[-1]),
             )
+            if is_converged(self.parameters.algorithm_options):
+                break
 
     def get_scan(self) -> np.ndarray:
         reorder = np.argsort(self.order)
@@ -639,6 +749,14 @@ class Reconstruction:
 
     def get_result(self) -> PtychoParameters:
         """Return the current parameter estimates (host copies)."""
+        if self.object_sharding == "striped":
+            from tike_tpu.parallel import striped
+
+            psi, probe = striped.striped_result(self._striped)
+            result = self.parameters
+            result.psi = psi
+            result.probe = probe
+            return result
         reorder = np.argsort(self.order)
         return PtychoParameters.join(
             [self.parameters.copy_to_host()],
@@ -654,6 +772,10 @@ class Reconstruction:
         )
 
     def get_psi(self) -> np.ndarray:
+        if self.object_sharding == "striped":
+            from tike_tpu.parallel import striped
+
+            return striped.striped_result(self._striped)[0]
         return to_host(self.parameters.psi)
 
     def get_probe(self):
@@ -692,14 +814,24 @@ def reconstruct(
     num_gpu: typing.Union[int, typing.Tuple[int, ...]] = 1,
     use_mpi: bool = False,
     mesh=None,
+    object_sharding: str = "replicated",
 ) -> PtychoParameters:
     """Solve the ptychography problem (functional API).
 
     Same signature semantics as the reference (`ptycho/ptycho.py:182-254`);
     `num_gpu`/`use_mpi` are accepted for compatibility and superseded by
-    `mesh`, a jax.sharding.Mesh for multi-chip runs.
+    `mesh`, a jax.sharding.Mesh for multi-chip runs. Pass
+    ``object_sharding="striped"`` with a mesh to decompose the object into
+    per-device row stripes (the reference's multi-GPU psi decomposition).
     """
-    with Reconstruction(data, parameters, num_gpu, use_mpi, mesh) as context:
+    with Reconstruction(
+        data,
+        parameters,
+        num_gpu,
+        use_mpi,
+        mesh,
+        object_sharding=object_sharding,
+    ) as context:
         context.iterate(parameters.algorithm_options.num_iter)
         result = context.get_result()
 
@@ -923,20 +1055,33 @@ def _rescale_probe(
     batch_idx, batch_mask = batches
     s_data = 0.0
     s_model = 0.0
-    for n in range(batch_idx.shape[0]):
-        idx = jnp.asarray(batch_idx[n])
-        scan_b = jnp.take(parameters.scan, idx, axis=0)
-        sd, sm = sums(
-            cfg,
-            data[n],
-            jnp.asarray(batch_mask[n]),
-            parameters.psi,
-            scan_b,
-            parameters.probe,
-            parameters.exitwave_options.measured_pixels,
-        )
-        s_data += sd
-        s_model += sm
+    try:
+        for n in range(batch_idx.shape[0]):
+            idx = jnp.asarray(batch_idx[n])
+            scan_b = jnp.take(parameters.scan, idx, axis=0)
+            sd, sm = sums(
+                cfg,
+                data[n],
+                jnp.asarray(batch_mask[n]),
+                parameters.psi,
+                scan_b,
+                parameters.probe,
+                parameters.exitwave_options.measured_pixels,
+            )
+            s_data += sd
+            s_model += sm
+    except Exception as error:
+        msg = str(error)
+        if "RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower():
+            # Same guidance as the reference on GPU OOM
+            # (`ptycho/ptycho.py:940-944`).
+            raise MemoryError(
+                "The device ran out of memory while scaling the probe. "
+                "Increase algorithm_options.num_batch so each mini-batch "
+                "fits in HBM, or pass store_data_on_device=False to stream "
+                "diffraction data from the host."
+            ) from error
+        raise
     rescale = jnp.sqrt(s_data / (s_model + 1e-32)).astype(floating)
     from tike_tpu.utils.transfer import scalar as _scalar
 

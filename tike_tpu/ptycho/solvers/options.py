@@ -365,3 +365,35 @@ def _resize_fft(x: np.ndarray, f: float) -> np.ndarray:
         norm="ortho",
         axes=(-2, -1),
     )
+
+
+def _resize_cv(x: np.ndarray, f: float, interpolation: int) -> np.ndarray:
+    """Image-space resize of the last 2 dims (`options.py:342-364` analog).
+
+    The reference delegates to OpenCV via tike.view.resize_complex_image;
+    here the same helper is backed by scipy splines so the interpolator
+    family works without the optional cv2 dependency.
+    """
+    import tike_tpu.view
+
+    shape = x.shape
+    flat = x.reshape(-1, *shape[-2:])
+    out = [
+        tike_tpu.view.resize_complex_image(
+            img, scale_factor=(f, f), interpolation=interpolation
+        )
+        for img in flat
+    ]
+    return np.asarray(out).reshape(*shape[:-2], *out[0].shape[-2:])
+
+
+def _resize_linear(x: np.ndarray, f: float) -> np.ndarray:
+    return _resize_cv(x, f, 1)
+
+
+def _resize_cubic(x: np.ndarray, f: float) -> np.ndarray:
+    return _resize_cv(x, f, 2)
+
+
+def _resize_lanczos(x: np.ndarray, f: float) -> np.ndarray:
+    return _resize_cv(x, f, 4)

@@ -18,31 +18,3 @@ def numpy_complex(*shape, rng=None):
     return (
         rng.random(size=(*shape, 2), dtype=floating) - 0.5
     ).view(cfloating)[..., 0]
-
-
-def cluster_wobbly_center(*args, **kwargs):
-    """Deprecated alias for :py:func:`tike_tpu.cluster.wobbly_center`."""
-    import warnings
-
-    warnings.warn(
-        "tike_tpu.random.cluster_wobbly_center is deprecated. "
-        "Use tike_tpu.cluster.wobbly_center instead.",
-        DeprecationWarning,
-    )
-    import tike_tpu.cluster
-
-    return tike_tpu.cluster.wobbly_center(*args, **kwargs)
-
-
-def cluster_compact(*args, **kwargs):
-    """Deprecated alias for :py:func:`tike_tpu.cluster.compact`."""
-    import warnings
-
-    warnings.warn(
-        "tike_tpu.random.cluster_compact is deprecated. "
-        "Use tike_tpu.cluster.compact instead.",
-        DeprecationWarning,
-    )
-    import tike_tpu.cluster
-
-    return tike_tpu.cluster.compact(*args, **kwargs)
