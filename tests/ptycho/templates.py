@@ -55,8 +55,9 @@ def siemens_star_subset(n_keep=160, filename=DATA_FILE):
     scan = scan[keep] - np.amin(scan[keep], axis=0) + 20
     data = np.ascontiguousarray(data[keep])
     w = probe.shape[-1]
-    hh = int(np.ceil(scan[:, 0].max())) + w + 21
-    ww = int(np.ceil(scan[:, 1].max())) + w + 21
+    # Even dimensions so multigrid resampling round-trips exactly.
+    hh = (int(np.ceil(scan[:, 0].max())) + w + 22) // 2 * 2
+    ww = (int(np.ceil(scan[:, 1].max())) + w + 22) // 2 * 2
     psi = np.full((1, hh, ww), 0.5 + 0j, dtype=np.complex64)
     return data, scan.astype(np.float32), probe, psi
 

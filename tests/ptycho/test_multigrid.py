@@ -11,7 +11,7 @@ from tike_tpu.ptycho.solvers.options import (
     pad_fourier_space,
 )
 
-from .templates import SiemensStarSetup
+from .templates import siemens_star_subset
 
 
 class TestFourierResize(unittest.TestCase):
@@ -36,16 +36,16 @@ class TestFourierResize(unittest.TestCase):
         np.testing.assert_allclose(down, x, rtol=1e-4, atol=1e-5)
 
 
-class TestMultigrid(SiemensStarSetup, unittest.TestCase):
+class TestMultigrid(unittest.TestCase):
     def setUp(self):
-        SiemensStarSetup.setUp(self)
+        self.data, self.scan, self.probe, self.psi = siemens_star_subset()
 
     def test_reconstruct_multigrid(self):
         params = tp.PtychoParameters(
             probe=self.probe.copy(),
             psi=self.psi.copy(),
             scan=self.scan.copy(),
-            algorithm_options=tp.RpieOptions(num_batch=5, num_iter=2),
+            algorithm_options=tp.RpieOptions(num_batch=5, num_iter=3),
             object_options=tp.ObjectOptions(),
             probe_options=tp.ProbeOptions(),
         )
@@ -54,6 +54,11 @@ class TestMultigrid(SiemensStarSetup, unittest.TestCase):
         )
         costs = [c[0] for c in result.algorithm_options.costs]
         assert np.all(np.isfinite(costs)), costs
+        # The coarse-to-fine schedule must actually reduce the cost at the
+        # finest level (reference runs its full suite through multigrid,
+        # `tests/ptycho/test_multigrid.py:62-104`).
+        fine = costs[-3:]
+        assert fine[-1] < fine[0], costs
         assert result.psi.shape == self.psi.shape
         assert result.probe.shape == self.probe.shape
 

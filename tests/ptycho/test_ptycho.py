@@ -12,14 +12,22 @@ import numpy as np
 
 import tike_tpu.ptycho as tp
 
-from .templates import ReconstructTwice, SiemensStarSetup
+from .templates import ReconstructTwice, siemens_star_subset
 
 NUM_EPOCH = 2
 
 
-class TestPtychoRecon(SiemensStarSetup, ReconstructTwice, unittest.TestCase):
+class TestPtychoRecon(ReconstructTwice, unittest.TestCase):
+    """Solver x noise-model x option consistency matrix.
+
+    Runs on the 160-position spatial subset of the measured siemens-star
+    scan (same data as the reference's full-suite fixture, ~10x faster),
+    covering the reference's parametrized matrix at
+    `/root/reference/tests/ptycho/test_ptycho.py:270-670`.
+    """
+
     def setUp(self):
-        SiemensStarSetup.setUp(self)
+        self.data, self.scan, self.probe, self.psi = siemens_star_subset()
 
     def _params(self, algorithm_options, probe_options=None, **kwargs):
         return tp.PtychoParameters(
@@ -100,6 +108,60 @@ class TestPtychoRecon(SiemensStarSetup, ReconstructTwice, unittest.TestCase):
             object_options=tp.ObjectOptions(use_adaptive_moment=True),
         )
         self.template_consistent_algorithm(data=self.data, params=params)
+
+    def _variable_probe_kwargs(self):
+        """One eigen component + per-position weights (OPR), initialized
+        like the reference (`probe.py:660-723`)."""
+        m = self.probe.shape[-3]
+        eigen_probe, weights = tp.init_varying_probe(
+            self.scan,
+            self.probe,
+            num_eigen_probes=2,
+            probes_with_modes=m,
+            rng=np.random.default_rng(7),
+        )
+        return dict(eigen_probe=eigen_probe, eigen_weights=weights)
+
+    def test_consistent_rpie_variable_probe(self):
+        """rPIE with OPR (eigen probe + weights), like the reference's
+        variable-probe cases (`test_ptycho.py:270-670`)."""
+        params = self._params(
+            tp.RpieOptions(num_batch=5, num_iter=NUM_EPOCH),
+            probe_options=tp.ProbeOptions(),
+            **self._variable_probe_kwargs(),
+        )
+        result = self.template_consistent_algorithm(
+            data=self.data, params=params
+        )
+        assert np.all(np.isfinite(np.asarray(result.eigen_weights)))
+
+    def test_consistent_lstsq_variable_probe(self):
+        params = self._params(
+            tp.LstsqOptions(num_batch=5, num_iter=NUM_EPOCH),
+            probe_options=tp.ProbeOptions(),
+            **self._variable_probe_kwargs(),
+        )
+        result = self.template_consistent_algorithm(
+            data=self.data, params=params
+        )
+        assert np.all(np.isfinite(np.asarray(result.eigen_probe)))
+        assert np.all(np.isfinite(np.asarray(result.eigen_weights)))
+
+    def test_lstsq_multislice_rejected(self):
+        """LSQML asserts single-slice, like the reference; rPIE handles
+        multislice (`tests/ptycho/test_multislice_recon.py`)."""
+        params = tp.PtychoParameters(
+            probe=self.probe.copy(),
+            psi=np.concatenate([self.psi, self.psi]),
+            scan=self.scan.copy(),
+            algorithm_options=tp.LstsqOptions(
+                num_batch=5, num_iter=1
+            ),
+            object_options=tp.ObjectOptions(),
+            probe_options=tp.ProbeOptions(),
+        )
+        with self.assertRaises(AssertionError):
+            tp.reconstruct(data=self.data, parameters=params)
 
     def test_consistent_rpie_masked_detector(self):
         mask = np.ones(self.probe.shape[-2:], dtype=np.bool_)

@@ -370,8 +370,11 @@ def iterate_program(
                     probe = probe + gate * probe_acc[0] / pdeno
 
         if plan.has_eigen and plan.solver == "rpie":
-            eigen_w = eigen_w / tike_tpu.linalg.mnorm(
-                eigen_w, axis=-3, keepdims=True
+            # Epsilon keeps all-zero weight columns at zero (see
+            # rpie._normalize_eigen_weights).
+            eigen_w = eigen_w / (
+                tike_tpu.linalg.mnorm(eigen_w, axis=-3, keepdims=True)
+                + 1e-32
             )
 
         # Object constraints (`ptycho.py:812-853`).

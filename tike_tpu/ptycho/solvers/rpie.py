@@ -508,7 +508,12 @@ def _moment_fn(fn, g, v, m, **kw):
 def _normalize_eigen_weights(eigen_weights):
     import tike_tpu.linalg as la
 
-    return eigen_weights / la.mnorm(eigen_weights, axis=-3, keepdims=True)
+    # The epsilon keeps all-zero weight columns (unused eigen slots, e.g.
+    # modes beyond probes_with_modes) at zero instead of 0/0 = NaN; the
+    # reference (`rpie.py:209-216`) divides unguarded.
+    return eigen_weights / (
+        la.mnorm(eigen_weights, axis=-3, keepdims=True) + 1e-32
+    )
 
 
 def rpie(
