@@ -34,6 +34,7 @@ def setup():
     return images, positions, patches, (hw, hw), p
 
 
+@pytest.mark.slow
 def test_patch_fwd_pallas_interpret(setup, monkeypatch):
     import tike_tpu.ops.patch_pallas as pp
     from jax.experimental import pallas as pl
@@ -50,6 +51,7 @@ def test_patch_fwd_pallas_interpret(setup, monkeypatch):
     )
 
 
+@pytest.mark.slow
 def test_patch_adj_pallas_interpret(setup, monkeypatch):
     import tike_tpu.ops.patch_pallas as pp
     from jax.experimental import pallas as pl

@@ -6,6 +6,7 @@ replicated path on the same synthetic data.
 """
 
 import numpy as np
+import pytest
 
 import tike_tpu.ptycho as tp
 from tike_tpu.parallel import make_mesh
@@ -48,6 +49,7 @@ def test_plan_covers_all_positions():
     ).all()
 
 
+@pytest.mark.slow
 def test_striped_reconstruction_matches_replicated():
     psi_true, probe, scan, data = _setup()
     mesh = make_mesh()

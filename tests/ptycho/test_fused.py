@@ -73,12 +73,25 @@ def _run(
     )
 
 
-@pytest.mark.parametrize(
-    "algo_cls", [tp.RpieOptions, tp.LstsqOptions], ids=["rpie", "lstsq"]
-)
-@pytest.mark.parametrize(
-    "variant", ["plain", "period2", "positions", "positions_adam"]
-)
+# The fast set pins one variant per solver; the remaining schedule/momentum
+# variants run with `-m slow`.
+_FAST = {("rpie", "plain"), ("lstsq", "positions")}
+_CASES = [
+    pytest.param(
+        algo_cls,
+        variant,
+        id=f"{algo_id}-{variant}",
+        marks=[] if (algo_id, variant) in _FAST else [pytest.mark.slow],
+    )
+    for algo_cls, algo_id in [
+        (tp.RpieOptions, "rpie"),
+        (tp.LstsqOptions, "lstsq"),
+    ]
+    for variant in ["plain", "period2", "positions", "positions_adam"]
+]
+
+
+@pytest.mark.parametrize("algo_cls,variant", _CASES)
 def test_fused_matches_per_epoch(algo_cls, variant):
     """One fused program == the per-epoch driver loop, same seed."""
     if variant.startswith("positions") and algo_cls is tp.RpieOptions:
@@ -101,6 +114,7 @@ def test_fused_matches_per_epoch(algo_cls, variant):
         assert np.max(np.abs(scan_u - scan_f)) < 1e-3
 
 
+@pytest.mark.slow
 def test_fused_positions_actually_move():
     """The fused position path produces a nonzero update."""
     _, _, _, scan_f = _run(
@@ -110,6 +124,7 @@ def test_fused_positions_actually_move():
     assert np.max(np.abs(scan_f - scan0)) > 1e-4
 
 
+@pytest.mark.slow
 def test_fused_convergence_window_chunks_match():
     """Chunked fused runs (convergence_window early-stop path) == one run.
 

@@ -9,6 +9,7 @@ Epoch counts are kept small for CPU CI speed.
 import unittest
 
 import numpy as np
+import pytest
 
 import tike_tpu.ptycho as tp
 
@@ -47,6 +48,7 @@ class TestPtychoRecon(ReconstructTwice, unittest.TestCase):
         )
         self.template_consistent_algorithm(data=self.data, params=params)
 
+    @pytest.mark.slow
     def test_consistent_rpie_off(self):
         """Probe recovery disabled."""
         params = self._params(
@@ -55,6 +57,7 @@ class TestPtychoRecon(ReconstructTwice, unittest.TestCase):
         )
         self.template_consistent_algorithm(data=self.data, params=params)
 
+    @pytest.mark.slow
     def test_consistent_rpie_poisson(self):
         params = self._params(
             tp.RpieOptions(num_batch=5, num_iter=NUM_EPOCH),
@@ -68,6 +71,7 @@ class TestPtychoRecon(ReconstructTwice, unittest.TestCase):
         )
         self.template_consistent_algorithm(data=self.data, params=params)
 
+    @pytest.mark.slow
     def test_consistent_rpie_compact(self):
         params = self._params(
             tp.RpieOptions(
@@ -85,6 +89,7 @@ class TestPtychoRecon(ReconstructTwice, unittest.TestCase):
         )
         self.template_consistent_algorithm(data=self.data, params=params)
 
+    @pytest.mark.slow
     def test_consistent_lstsq_poisson_dominant(self):
         params = self._params(
             tp.LstsqOptions(num_batch=5, num_iter=NUM_EPOCH),
@@ -99,6 +104,7 @@ class TestPtychoRecon(ReconstructTwice, unittest.TestCase):
         )
         self.template_consistent_algorithm(data=self.data, params=params)
 
+    @pytest.mark.slow
     def test_consistent_lstsq_compact_momentum(self):
         params = self._params(
             tp.LstsqOptions(
@@ -135,6 +141,7 @@ class TestPtychoRecon(ReconstructTwice, unittest.TestCase):
         )
         assert np.all(np.isfinite(np.asarray(result.eigen_weights)))
 
+    @pytest.mark.slow
     def test_consistent_lstsq_variable_probe(self):
         params = self._params(
             tp.LstsqOptions(num_batch=5, num_iter=NUM_EPOCH),
@@ -163,6 +170,7 @@ class TestPtychoRecon(ReconstructTwice, unittest.TestCase):
         with self.assertRaises(AssertionError):
             tp.reconstruct(data=self.data, parameters=params)
 
+    @pytest.mark.slow
     def test_consistent_rpie_masked_detector(self):
         mask = np.ones(self.probe.shape[-2:], dtype=np.bool_)
         mask[40:50, 40:50] = False  # dead detector region

