@@ -177,7 +177,6 @@ def bench_lamino_cgrad(n=128, ntheta=64):
     import jax.numpy as jnp
 
     import tike_tpu.lamino
-    from tike_tpu.ops.lamino import LaminoConfig, lamino_fwd
 
     rng = np.random.default_rng(0)
     obj = (
@@ -187,10 +186,7 @@ def bench_lamino_cgrad(n=128, ntheta=64):
     )
     theta = np.linspace(0, np.pi, ntheta, endpoint=False).astype(np.float32)
     tilt = np.pi / 3
-    cfg = LaminoConfig(n=n, tilt=float(tilt), eps=1e-3, upsample=1)
-    data = lamino_fwd(cfg, jnp.asarray(obj), jnp.asarray(theta))
-    jax.block_until_ready(data)
-    data = np.asarray(data)
+    data = tike_tpu.lamino.simulate(obj, theta, tilt, eps=1e-3, upsample=1)
 
     # Warmup: 1 iteration compiles the cost/grad programs.
     tike_tpu.lamino.reconstruct(
@@ -218,7 +214,7 @@ def bench_admm_joint(n=64, P=16, T=8, NPOS=200):
     import tike_tpu.admm
     import tike_tpu.ptycho as tp
     from tike_tpu.constants import wavenumber
-    from tike_tpu.ops.lamino import LaminoConfig, lamino_fwd
+    from tike_tpu.ops.lamino import LaminoConfig, lamino_fwd_p
 
     rng = np.random.default_rng(0)
     energy, voxelsize = 10.0, 1e-7
@@ -229,10 +225,12 @@ def bench_admm_joint(n=64, P=16, T=8, NPOS=200):
     obj[s, s, s] = delta * (1 + 0.1j)
     theta = np.linspace(0, np.pi, T, endpoint=False).astype(np.float32)
     cfg = LaminoConfig(n=n, tilt=np.pi / 2, eps=1e-3, upsample=2)
-    lines = (
-        np.asarray(lamino_fwd(cfg, jnp.asarray(obj), jnp.asarray(theta)))
-        * voxelsize
-    )
+    from tike_tpu.utils.pairs import download, upload
+
+    lines = download(
+        lamino_fwd_p(cfg, upload(obj, dtype=np.complex64),
+                     jnp.asarray(theta, dtype=np.float32))
+    ) * voxelsize
     psi_true = np.exp(1j * k * lines).astype(np.complex64)
     probe = (tp.gaussian(P) * (1 + 0j))[None, None, None].astype(np.complex64)
     scan = np.stack(

@@ -111,7 +111,7 @@ def test_usfft_cgrad_theta_mesh_matches_single_device():
     single = tl.reconstruct(**kwargs)
     meshed = tl.reconstruct(mesh=make_mesh(4), **kwargs)
 
-    np.testing.assert_allclose(meshed["cost"], single["cost"], rtol=1e-4)
+    np.testing.assert_allclose(meshed["cost"], single["cost"], rtol=1e-3)
     np.testing.assert_allclose(
-        meshed["obj"], single["obj"], rtol=1e-4, atol=1e-6
+        meshed["obj"], single["obj"], rtol=1e-3, atol=1e-5
     )

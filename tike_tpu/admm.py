@@ -34,7 +34,7 @@ import numpy as np
 
 import tike_tpu.lamino
 from tike_tpu.constants import wavenumber
-from tike_tpu.ops.lamino import LaminoConfig, lamino_fwd
+from tike_tpu.ops.lamino import LaminoConfig, lamino_fwd_p
 from tike_tpu.ptycho.solvers import PtychoParameters
 
 logger = logging.getLogger(__name__)
@@ -125,10 +125,12 @@ def reconstruct_joint_admm(
         obj = result["obj"].astype(np.complex64)
 
         # 4. Re-project and re-exponentiate the consensus variable.
-        line_integrals = np.asarray(
-            lamino_fwd(
+        from tike_tpu.utils.pairs import download, upload
+
+        line_integrals = download(
+            lamino_fwd_p(
                 cfg,
-                jnp.asarray(obj),
+                upload(obj, dtype=np.complex64),
                 jnp.asarray(theta, dtype=jnp.float32),
             )
         ) * voxelsize

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import logging
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -34,7 +35,9 @@ def simulate(obj, theta, tilt, eps=1.0, **kwargs):
         jnp.asarray(theta, dtype=jnp.float32),
         jnp.asarray(grid),
     )
-    return np.asarray(data)
+    from tike_tpu.utils.transfer import to_host
+
+    return to_host(data)
 
 
 def reconstruct(
@@ -76,7 +79,6 @@ def reconstruct(
 
         mesh = make_mesh(obj_split)
     if mesh is not None:
-        import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from tike_tpu.ops.bucket import make_grid_full, sharded_bucket_ops
@@ -125,6 +127,11 @@ def reconstruct(
             break
 
     result["cost"] = np.asarray(costs)
+    from tike_tpu.utils.transfer import to_host
+
     return {
-        k: np.asarray(v) if np.ndim(v) > 0 else v for k, v in result.items()
+        k: (to_host(v) if isinstance(v, jax.Array) else np.asarray(v))
+        if np.ndim(v) > 0
+        else v
+        for k, v in result.items()
     }

@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tike_tpu.ops.lamino import LaminoConfig, lamino_fwd
+from tike_tpu.ops.lamino import LaminoConfig, lamino_fwd_p
+from tike_tpu.utils.pairs import download, upload
 from . import solvers
 
 __all__ = ["reconstruct", "simulate"]
@@ -29,12 +30,12 @@ def simulate(obj, theta, tilt, eps=1e-3, upsample=1, **kwargs):
     cfg = LaminoConfig(
         n=obj.shape[-1], tilt=float(tilt), eps=float(eps), upsample=upsample
     )
-    data = lamino_fwd(
+    data = lamino_fwd_p(
         cfg,
-        jnp.asarray(obj, dtype=jnp.complex64),
+        upload(obj, dtype=np.complex64),
         jnp.asarray(theta, dtype=jnp.float32),
     )
-    return np.asarray(data)
+    return download(data)
 
 
 def reconstruct(
@@ -69,9 +70,11 @@ def reconstruct(
     cfg = LaminoConfig(
         n=obj.shape[-1], tilt=float(tilt), eps=float(eps), upsample=upsample
     )
-    data_d = jnp.asarray(data, dtype=jnp.complex64)
+    # Pair-wrapped uploads: no complex array crosses a program boundary on
+    # relay backends (tike_tpu.utils.pairs); plain complex arrays elsewhere.
+    data_d = upload(np.asarray(data), dtype=np.complex64)
     theta_d = jnp.asarray(theta, dtype=jnp.float32)
-    obj_d = jnp.asarray(obj, dtype=jnp.complex64)
+    obj_d = upload(np.asarray(obj), dtype=np.complex64)
     if mesh is not None:
         from tike_tpu.parallel import batch_sharding, replicated_sharding
 
@@ -102,6 +105,9 @@ def reconstruct(
             break
 
     result["cost"] = np.asarray(costs)
+    # Pair-safe exports: the tunneled TPU backend has no complex IO
+    # (see tike_tpu.utils.pairs / transfer).
     return {
-        k: np.asarray(v) if np.ndim(v) > 0 else v for k, v in result.items()
+        k: download(v) if not np.isscalar(v) and np.ndim(v) > 0 else v
+        for k, v in result.items()
     }

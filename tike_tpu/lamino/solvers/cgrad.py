@@ -16,25 +16,27 @@ import tike_tpu.linalg
 import tike_tpu.opt
 from tike_tpu.ops.lamino import (
     LaminoConfig,
-    lamino_adj,
-    lamino_cost,
-    lamino_fwd,
-    lamino_grad,
+    lamino_cost_p,
+    lamino_grad_p,
+    lamino_step_scale,
 )
+from tike_tpu.utils.pairs import pair_jit
 
 logger = logging.getLogger(__name__)
 
 
 def _estimate_step_length(obj, theta, cfg):
-    """Step-length scale = |F*Fm| / |m| (`cgrad.py:9-24`)."""
+    """Step-length scale = |F*Fm| / |m| (`cgrad.py:9-24`).
+
+    One pair-safe program: no complex array ever crosses the boundary, and
+    only the real scalar is downloaded.
+    """
     from tike_tpu.utils.transfer import scalar
 
-    outnback = lamino_adj(cfg, lamino_fwd(cfg, obj, theta), theta)
-    s = scalar(
-        2 * tike_tpu.linalg.norm(outnback) / tike_tpu.linalg.norm(obj),
-        default=float("nan"),
-    )
-    return s if np.isfinite(s) else 1.0
+    s = scalar(lamino_step_scale(cfg, obj, theta), default=float("nan"))
+    # A zero initial object yields 0/0; fall back to unit step like the
+    # reference does for the NaN it produces there.
+    return s if np.isfinite(s) and s > 0 else 1.0
 
 
 def cgrad(
@@ -53,16 +55,17 @@ def cgrad(
     def cost_function(u):
         from tike_tpu.utils.transfer import scalar
 
-        return scalar(lamino_cost(cfg, data, theta, u))
+        return scalar(lamino_cost_p(cfg, data, theta, u))
 
     def grad(u):
-        return lamino_grad(cfg, data, theta, u)
+        return lamino_grad_p(cfg, data, theta, u)
 
     obj, cost = tike_tpu.opt.conjugate_gradient(
         None,
         x=obj,
         cost_function=cost_function,
         grad=grad,
+        direction_dy=pair_jit(tike_tpu.opt.direction_dy),
         num_iter=cg_iter,
         step_length=step_length,
     )

@@ -100,3 +100,24 @@ def lamino_grad(cfg: LaminoConfig, data, theta, obj):
     """Least-squares gradient (`lamino.py:154-164`)."""
     out = lamino_adj(cfg, lamino_fwd(cfg, obj, theta) - data, theta)
     return out / (data.shape[-3] * cfg.n**3)
+
+
+# Pair-mode program boundaries (see tike_tpu.utils.pairs): on backends
+# without complex IO at program boundaries, call these with Pair-wrapped
+# complex inputs; complex outputs come back as Pairs. On CPU/GPU they are
+# plain jitted functions.
+from tike_tpu.utils.pairs import pair_jit as _pair_jit  # noqa: E402
+
+lamino_fwd_p = _pair_jit(lamino_fwd, static_argnames=("cfg",))
+lamino_adj_p = _pair_jit(lamino_adj, static_argnames=("cfg",))
+lamino_cost_p = _pair_jit(lamino_cost, static_argnames=("cfg",))
+lamino_grad_p = _pair_jit(lamino_grad, static_argnames=("cfg",))
+
+
+@_pair_jit(static_argnames=("cfg",))
+def lamino_step_scale(cfg: LaminoConfig, obj, theta):
+    """CG step-length scale 2|A*A u| / |u| (`cgrad.py:9-24`) as one program."""
+    import tike_tpu.linalg as _la
+
+    outnback = lamino_adj(cfg, lamino_fwd(cfg, obj, theta), theta)
+    return 2 * _la.norm(outnback) / (_la.norm(obj) + 1e-32)

@@ -88,31 +88,47 @@ def simulate(
             )
         },
     )
+    from tike_tpu.utils.pairs import upload
+    from tike_tpu.utils.transfer import to_host
+
     intensity = 0
+    psi_d = upload(psi, dtype=cfloating)
+    scan_d = jnp.asarray(scan, dtype=floating)
     for m in range(probe.shape[-3]):
-        unique = probe_module.get_varying_probe(
-            jnp.asarray(probe[..., m : m + 1, :, :], dtype=cfloating),
+        # One program per mode, with complex inputs crossing the boundary
+        # as Pairs: eager op-by-op dispatch is both slower and unsupported
+        # on the tunneled TPU backend (complex-free boundaries only).
+        mode_intensity = _simulate_mode_program(
+            cfg,
+            psi_d,
+            scan_d,
+            upload(
+                np.ascontiguousarray(probe[..., m : m + 1, :, :]),
+                dtype=cfloating,
+            ),
             None
             if eigen_probe is None
-            else jnp.asarray(eigen_probe[..., m : m + 1, :, :]),
+            else upload(
+                np.ascontiguousarray(eigen_probe[..., m : m + 1, :, :]),
+                dtype=cfloating,
+            ),
             None
             if eigen_weights is None
-            else jnp.asarray(eigen_weights[..., m : m + 1]),
+            else jnp.asarray(eigen_weights[..., m : m + 1], dtype=floating),
         )
-        # One jitted program per mode: eager op-by-op dispatch is both slower
-        # and less reliable on the tunneled TPU backend.
-        mode_intensity = simulate_intensity(
-            cfg,
-            jnp.asarray(psi, dtype=cfloating),
-            jnp.asarray(scan, dtype=floating),
-            jnp.asarray(unique, dtype=cfloating)[:, 0],
-        )
-        intensity = intensity + np.asarray(mode_intensity)
+        intensity = intensity + to_host(mode_intensity)
     if fly > 1:
         intensity = intensity.reshape(
             scan.shape[-2] // fly, fly, detector_shape, detector_shape
         ).sum(axis=1)
     return intensity
+
+
+@pair_jit(static_argnames=("cfg",))
+def _simulate_mode_program(cfg, psi, scan, probe_m, eigen_m, weights_m):
+    """Varying-probe blend + forward intensity for one mode, one program."""
+    unique = probe_module.get_varying_probe(probe_m, eigen_m, weights_m)
+    return simulate_intensity(cfg, psi, scan, unique[:, 0])
 
 
 class Reconstruction:

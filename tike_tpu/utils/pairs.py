@@ -97,6 +97,9 @@ class Pair:
             return Pair(self.data - other.data)
         return NotImplemented
 
+    def __neg__(self):
+        return Pair(-self.data)
+
     def __mul__(self, s):
         # Real-scalar multiplication commutes with the pair representation.
         if isinstance(s, Pair) or (
