@@ -302,7 +302,11 @@ def bench_stream_1m(n_patterns=1_000_000, det=64):
         psi=psi,
         scan=scan,
         algorithm_options=tp.RpieOptions(
-            num_batch=100, num_iter=1, batch_method="compact"
+            # Clustering layouts are O(N*num_batch) on the host; at 1M
+            # positions only the random partition is affordable.
+            num_batch=100,
+            num_iter=1,
+            batch_method="random",
         ),
         object_options=tp.ObjectOptions(),
         probe_options=tp.ProbeOptions(
@@ -358,9 +362,21 @@ def main():
         print(json.dumps(out), flush=True)
         results.append(out)
     try:
+        # Merge by config name so partial runs accumulate.
+        try:
+            with open("BENCH_CONFIGS.json") as f:
+                merged = {
+                    r["config"]: r for r in json.load(f).get("results", [])
+                }
+        except (OSError, ValueError):
+            merged = {}
+        merged.update({r["config"]: r for r in results})
         with open("BENCH_CONFIGS.json", "w") as f:
             json.dump(
-                {"device": str(jax.devices()[0]), "results": results},
+                {
+                    "device": str(jax.devices()[0]),
+                    "results": list(merged.values()),
+                },
                 f,
                 indent=1,
             )

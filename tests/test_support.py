@@ -232,3 +232,48 @@ class TestFarnebackRescale:
         a = np.linspace(0, 10, 100, dtype=np.float32)
         a8, b8 = _rescale_8bit(a, a, hi=10.0, lo=0.0)
         np.testing.assert_allclose(a8, np.linspace(0, 255, 100), rtol=1e-5)
+
+
+class TestRandomBatches:
+    def test_random_batches_partition(self):
+        import tike_tpu.cluster
+
+        rng = np.random.default_rng(0)
+        scan = rng.random((103, 2)).astype(np.float32)
+        batches = tike_tpu.cluster.random_batches(scan, 7, rng=rng)
+        assert len(batches) == 7
+        allidx = np.sort(np.concatenate(batches))
+        np.testing.assert_array_equal(allidx, np.arange(103))
+        sizes = [len(b) for b in batches]
+        assert max(sizes) - min(sizes) <= 1
+
+    def test_random_batch_method_reconstructs(self):
+        import tike_tpu.ptycho as tp
+
+        rng = np.random.default_rng(1)
+        P, HW, N = 16, 96, 64
+        yy, xx = np.mgrid[0:HW, 0:HW] / HW
+        psi = np.exp(1j * np.sin(5 * yy) * np.cos(3 * xx)).astype(
+            np.complex64
+        )[None]
+        probe = (tp.gaussian(P) * (1 + 0j))[None, None, None].astype(
+            np.complex64
+        )
+        scan = np.stack(
+            [rng.uniform(2, HW - P - 3, N), rng.uniform(2, HW - P - 3, N)],
+            -1,
+        ).astype(np.float32)
+        data = tp.simulate(P, probe, scan, psi).astype(np.float32)
+        params = tp.PtychoParameters(
+            probe=probe,
+            psi=np.full_like(psi, 0.5),
+            scan=scan,
+            algorithm_options=tp.RpieOptions(
+                num_batch=4, num_iter=2, batch_method="random"
+            ),
+            object_options=tp.ObjectOptions(),
+            probe_options=tp.ProbeOptions(),
+        )
+        result = tp.reconstruct(data, params)
+        costs = [float(np.mean(c)) for c in result.algorithm_options.costs]
+        assert np.isfinite(costs).all() and costs[-1] < costs[0]

@@ -11,6 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tike_tpu.ops.alignment import alignment_fwd, alignment_inv
+from tike_tpu.utils.transfer import to_host
 from . import solvers
 
 __all__ = ["reconstruct", "simulate", "invert"]
@@ -34,7 +35,7 @@ def simulate(original, **kwargs):
     unaligned = alignment_fwd(
         jnp.asarray(original, dtype=jnp.complex64), **kwargs
     )
-    return np.asarray(unaligned)
+    return to_host(unaligned)
 
 
 def invert(original, **kwargs):
@@ -43,7 +44,7 @@ def invert(original, **kwargs):
     aligned = alignment_inv(
         jnp.asarray(original, dtype=jnp.complex64), **kwargs
     )
-    return np.asarray(aligned)
+    return to_host(aligned)
 
 
 def reconstruct(original, unaligned, algorithm, num_iter=1, rtol=-1, **kwargs):
@@ -65,5 +66,5 @@ def reconstruct(original, unaligned, algorithm, num_iter=1, rtol=-1, **kwargs):
         **kwargs,
     )
     return {
-        k: np.asarray(v) if np.ndim(v) > 0 else v for k, v in result.items()
+        k: to_host(v) if np.ndim(v) > 0 else v for k, v in result.items()
     }

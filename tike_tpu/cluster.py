@@ -242,10 +242,28 @@ def compact(
     return clusters
 
 
+def random_batches(
+    population, num_cluster: int, rng: np.random.Generator | None = None
+) -> typing.List[np.ndarray]:
+    """Split indices into num_cluster equal random batches (O(N)).
+
+    The clustering methods are O(N * num_cluster) or worse per epoch setup;
+    at production scale (millions of scan positions, the reference's MPI/
+    streaming regime) a plain random partition is the only affordable
+    layout, matching the reference's `opt.batch_indicies(use_random=True)`
+    (`opt.py:46-54`).
+    """
+    n = len(population)
+    rng = np.random.default_rng() if rng is None else rng
+    perm = rng.permutation(n)
+    return np.array_split(perm, num_cluster)
+
+
 BATCH_METHODS = {
     "compact": compact,
     "wobbly_center": wobbly_center,
     "wobbly_center_random_bootstrap": wobbly_center_random_bootstrap,
+    "random": random_batches,
 }
 
 
