@@ -60,7 +60,16 @@ def main():
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 2)
-    jax.distributed.initialize(
+    # The production entry point: must run before any backend-touching call.
+    import tike_tpu.parallel.distributed as dist
+
+    dist.initialize(
+        coordinator_address=f"localhost:{port}",
+        num_processes=2,
+        process_id=rank,
+    )
+    # Idempotent: a second call detects the attached runtime and no-ops.
+    dist.initialize(
         coordinator_address=f"localhost:{port}",
         num_processes=2,
         process_id=rank,
@@ -68,7 +77,6 @@ def main():
     assert jax.device_count() == 4, jax.device_count()
 
     import tike_tpu.ptycho as tp
-    import tike_tpu.parallel.distributed as dist
 
     data, scan, probe, psi_shape = build_problem()
     # Production flow: this process loads only its stripe of the data.

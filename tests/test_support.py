@@ -277,3 +277,25 @@ class TestRandomBatches:
         result = tp.reconstruct(data, params)
         costs = [float(np.mean(c)) for c in result.algorithm_options.costs]
         assert np.isfinite(costs).all() and costs[-1] < costs[0]
+
+    def test_lanczos_differs_from_cubic(self):
+        """Lanczos must be a real windowed-sinc, not a cubic alias."""
+        from tike_tpu.ptycho.solvers.options import (
+            _resize_cubic,
+            _resize_lanczos,
+        )
+
+        rng = np.random.default_rng(5)
+        x = (
+            rng.standard_normal((1, 16, 16))
+            + 1j * rng.standard_normal((1, 16, 16))
+        ).astype(np.complex64)
+        up_l = _resize_lanczos(x, 2.0)
+        up_c = _resize_cubic(x, 2.0)
+        assert up_l.shape == up_c.shape == (1, 32, 32)
+        assert np.abs(up_l - up_c).max() > 1e-4
+        # Lanczos rows are normalized: a constant image stays constant.
+        const = np.ones((1, 16, 16), np.complex64)
+        np.testing.assert_allclose(
+            _resize_lanczos(const, 2.0), np.ones((1, 32, 32)), rtol=1e-5
+        )

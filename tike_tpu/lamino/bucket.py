@@ -86,7 +86,8 @@ def reconstruct(
         axis = mesh.axis_names[0]
         if n % mesh.size != 0:
             raise ValueError(
-                f"volume side {n} must divide the mesh size {mesh.size}"
+                f"the mesh size ({mesh.size}) must evenly divide the "
+                f"volume side ({n}) so each device owns a whole x-slab"
             )
         vol_sharding = NamedSharding(mesh, P(axis))
         rep = NamedSharding(mesh, P())
@@ -127,11 +128,9 @@ def reconstruct(
             break
 
     result["cost"] = np.asarray(costs)
-    from tike_tpu.utils.transfer import to_host
+    from tike_tpu.utils.pairs import download
 
     return {
-        k: (to_host(v) if isinstance(v, jax.Array) else np.asarray(v))
-        if np.ndim(v) > 0
-        else v
+        k: download(v) if not np.isscalar(v) and np.ndim(v) > 0 else v
         for k, v in result.items()
     }

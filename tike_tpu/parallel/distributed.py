@@ -51,19 +51,34 @@ def initialize(
     """Join the multi-process runtime (`jax.distributed.initialize` wrapper).
 
     Equivalent of the reference's implicit ``MPI.COMM_WORLD`` attachment
-    (`mpi.py:198-219`). No-op when already initialized or when called with
-    no arguments in a single-process environment (mirroring ``NoMPIComm``).
-    On Cloud TPU pods all arguments are auto-detected from the environment.
+    (`mpi.py:198-219`). Must be called before any other JAX call — like
+    ``jax.distributed.initialize`` itself, which refuses to run once the
+    XLA backend exists (so this wrapper must NOT touch ``jax.process_count``
+    or ``jax.devices`` first). No-op when the distributed runtime is
+    already attached. On Cloud TPU pods all arguments are auto-detected
+    from the environment.
     """
-    if jax.process_count() > 1:
+    # Detect prior initialization WITHOUT initializing the backend:
+    # the global client object exists iff initialize() already ran.
+    try:
+        from jax._src.distributed import global_state as _state
+    except ImportError:  # future jax: fall back to the public surface
+        _state = getattr(jax.distributed, "global_state", None)
+    if _state is not None and getattr(_state, "client", None) is not None:
         return  # already initialized
     if coordinator_address is None and num_processes is None:
-        # Single-process / auto-detected environment: nothing to do unless
-        # the TPU pod metadata can supply the configuration.
+        # Auto-detected environment (TPU pod metadata / env vars).
         try:
             jax.distributed.initialize(**kwargs)
-        except Exception:
-            logger.info("single-process mode (no distributed runtime)")
+        except Exception as error:
+            # Only swallow the genuinely-single-process case; re-raise when
+            # the backend was already touched (a real ordering bug) so pod
+            # runs cannot silently degrade to single-process mode.
+            if "must be called before" in str(error):
+                raise
+            logger.info(
+                "single-process mode (no distributed runtime): %s", error
+            )
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

@@ -165,7 +165,10 @@ def _striped_epoch_math(
 ):
     """One solver epoch on this device's stripe (inside shard_map)."""
     idx = jnp.arange(scan.shape[0], dtype=jnp.int32)
-    nvalid = jnp.maximum(jnp.sum(mask), 1.0)
+    # True valid count: 0 for empty stripes so they carry no weight in the
+    # probe mean or the cost denominator (the reference's Allreduce_mean
+    # weights by per-rank counts, `comm.py:96-110`).
+    nvalid = jnp.sum(mask)
 
     psi_pre = _psi_precond_math(cfg, psi, scan, probe, mask)
 
@@ -202,9 +205,10 @@ def _striped_epoch_math(
         psi = psi + jnp.where(jnp.isfinite(dpsi), dpsi, 0)
         dprobe = out["beta_probe"] * out["m_probe_update"]
         probe_new = probe + jnp.where(jnp.isfinite(dprobe), dprobe, 0)
-        # Weighted mean over stripes (the reference's Allreduce_mean).
-        probe = jax.lax.psum(probe_new * nvalid, BATCH_AXIS) / jax.lax.psum(
-            nvalid, BATCH_AXIS
+        # Weighted mean over stripes (the reference's Allreduce_mean);
+        # empty stripes contribute weight 0.
+        probe = jax.lax.psum(probe_new * nvalid, BATCH_AXIS) / jnp.maximum(
+            jax.lax.psum(nvalid, BATCH_AXIS), 1.0
         )
     else:
         probe_pre = _probe_precond_math(cfg, psi, scan, mask)
@@ -241,8 +245,8 @@ def _striped_epoch_math(
             (1 - alpha) * ppre + alpha * ppre.max()
         )
 
-    cost = jax.lax.psum(jnp.sum(costs * mask), BATCH_AXIS) / jax.lax.psum(
-        nvalid, BATCH_AXIS
+    cost = jax.lax.psum(jnp.sum(costs * mask), BATCH_AXIS) / jnp.maximum(
+        jax.lax.psum(nvalid, BATCH_AXIS), 1.0
     )
 
     # Halo reconciliation: blend the 2*halo seam rows with each neighbor.

@@ -169,12 +169,17 @@ class Reconstruction:
                 "It should be (N, W, H), "
                 "where N >= 1 is the number of square diffraction patterns."
             )
+        self.mesh = mesh
+        # Testing/advanced: emulate an N-process stripe layout on one
+        # process (same global program as a real N-process run).
+        self._force_stripes = _force_stripes
         if (
             data.shape[0] != parameters.scan.shape[0]
-            and jax.process_count() == 1
+            and not self._is_multi_host()
         ):
-            # Multi-process runs may pass only this process's data stripe
-            # (validated against the stripe length in _enter_multi_host).
+            # Only the multi-host layout may pass a per-process data stripe
+            # (validated against the stripe length in _enter_multi_host);
+            # every other path requires matching leading dimensions.
             raise ValueError(
                 f"data shape {data.shape} and scan shape "
                 f"{parameters.scan.shape} are incompatible. They should have "
@@ -199,7 +204,14 @@ class Reconstruction:
         )
         self.data_host = data
         self.parameters_host = copy.deepcopy(parameters)
-        self.mesh = mesh
+        if store_data_on_device is False and self._is_multi_host():
+            raise ValueError(
+                "host-streaming mode (store_data_on_device=False) is not "
+                "implemented for the multi-host layout: each process's "
+                "stripe is assembled into one globally-sharded device "
+                "array. Raise num_batch or use more processes so the "
+                "per-process stripe fits in HBM."
+            )
         if store_data_on_device is None:
             # Stream from host when the dataset is a large fraction of HBM
             # (v5e/v5p chips have 16-96 GB); 4 GB is a conservative cut.
@@ -229,9 +241,6 @@ class Reconstruction:
         )
         self._seed = random_seed
         self._rng = np.random.default_rng(random_seed)
-        # Testing/advanced: emulate an N-process stripe layout on one
-        # process (same global program as a real N-process run).
-        self._force_stripes = _force_stripes
 
     def _is_multi_host(self) -> bool:
         """Whether this run uses the stripe-major multi-process layout."""
@@ -261,6 +270,12 @@ class Reconstruction:
         n_proc = (
             self._force_stripes if emulate else jax.process_count()
         )
+        if n_proc < 1 or self.mesh.size % n_proc != 0:
+            raise ValueError(
+                f"the mesh size ({self.mesh.size}) must be a positive "
+                f"multiple of the process count ({n_proc}) so every "
+                "process contributes the same number of devices"
+            )
         if self._seed is None:
             # All processes must draw identical batch layouts and orders.
             self._rng = np.random.default_rng(0)
@@ -374,6 +389,20 @@ class Reconstruction:
         solver = (
             "lstsq" if p.algorithm_options.name == "lstsq_grad" else "rpie"
         )
+        if p.algorithm_options.num_batch > 1:
+            logger.warning(
+                "striped mode runs each stripe as ONE batch per epoch; "
+                "algorithm_options.num_batch=%d is ignored",
+                p.algorithm_options.num_batch,
+            )
+        if p.probe_options is not None and (
+            p.probe_options.update_start != 0
+            or p.probe_options.update_period != 1
+        ):
+            logger.warning(
+                "striped mode updates the probe every epoch; the "
+                "update_start/update_period schedule is ignored"
+            )
         margin = 8
         probe = np.asarray(p.probe)
         if (
@@ -422,6 +451,13 @@ class Reconstruction:
 
         # Order the data by batches (contiguous in device memory like the
         # reference, `ptycho.py:371-396`) and build fixed-size batch indices.
+        # num_stripes stays 1 here by design: the reference stripes the scan
+        # so each GPU's shard is spatially contiguous, but with a replicated
+        # object the batch-major layout + mesh sharding already gives every
+        # device a contiguous slice of each batch. Spatial striping returns
+        # in two places that need it: the multi-host layout
+        # (`parallel/distributed.striped_batches`, one stripe per process)
+        # and the striped object decomposition (`object_sharding="striped"`).
         (
             order,
             batches,

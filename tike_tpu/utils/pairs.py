@@ -35,7 +35,29 @@ def _detect_pair_mode() -> bool:
     return platform not in ("cpu", "gpu", "cuda", "rocm")
 
 
-PAIR_MODE = _detect_pair_mode()
+_PAIR_MODE: bool | None = None
+
+
+def pair_mode() -> bool:
+    """Whether complex program boundaries must be avoided (lazy-detected).
+
+    Detection touches `jax.devices()`, which initializes the XLA backend —
+    so it must NOT run at import time: multi-process users call
+    `tike_tpu.parallel.distributed.initialize()` after importing the
+    package, and `jax.distributed.initialize` refuses to run once the
+    backend exists. The first pair_jit/upload call triggers detection.
+    """
+    global _PAIR_MODE
+    if _PAIR_MODE is None:
+        _PAIR_MODE = _detect_pair_mode()
+    return _PAIR_MODE
+
+
+def __getattr__(name):
+    # Backwards-compatible module attribute: `from pairs import PAIR_MODE`.
+    if name == "PAIR_MODE":
+        return pair_mode()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 @jax.tree_util.register_pytree_node_class
@@ -145,7 +167,7 @@ def upload(x, dtype=None):
         return x
     if dtype is not None:
         x = x.astype(dtype)
-    if PAIR_MODE and np.issubdtype(x.dtype, np.complexfloating):
+    if pair_mode() and np.issubdtype(x.dtype, np.complexfloating):
         return Pair(jnp.asarray(complex_to_pair_host(x)))
     return jnp.asarray(x)
 
@@ -195,13 +217,26 @@ def pair_jit(fn=None, *, static_argnames=()):
     if fn is None:
         return functools.partial(pair_jit, static_argnames=static_argnames)
 
-    if not PAIR_MODE:
-        return jax.jit(fn, static_argnames=static_argnames)
+    # Pair-mode detection initializes the XLA backend, so it is deferred to
+    # the first call (imports must stay backend-free for jax.distributed).
+    compiled = {}
 
-    @functools.partial(jax.jit, static_argnames=static_argnames)
-    def inner(*args, **kwargs):
-        args, kwargs = _pairs_to_complex((args, kwargs))
-        out = fn(*args, **kwargs)
-        return _complex_to_pairs(out)
+    @functools.wraps(fn)
+    def dispatch(*args, **kwargs):
+        if not pair_mode():
+            if "plain" not in compiled:
+                compiled["plain"] = jax.jit(
+                    fn, static_argnames=static_argnames
+                )
+            return compiled["plain"](*args, **kwargs)
+        if "pair" not in compiled:
 
-    return inner
+            @functools.partial(jax.jit, static_argnames=static_argnames)
+            def inner(*a, **k):
+                a, k = _pairs_to_complex((a, k))
+                return _complex_to_pairs(fn(*a, **k))
+
+            compiled["pair"] = inner
+        return compiled["pair"](*args, **kwargs)
+
+    return dispatch

@@ -43,13 +43,33 @@ def complexHSV_to_RGB(img0):
     return matplotlib.colors.hsv_to_rgb(hsv)
 
 
+def _lanczos_resample_matrix(n_in: int, n_out: int, a: int = 4):
+    """Dense (n_out, n_in) Lanczos-a resampling matrix (rows normalized)."""
+    scale = n_out / n_in
+    center = (np.arange(n_out) + 0.5) / scale - 0.5
+    t = center[:, None] - np.arange(n_in)[None, :]
+    w = np.sinc(t) * np.sinc(t / a) * (np.abs(t) < a)
+    return w / w.sum(axis=-1, keepdims=True)
+
+
 def resize_complex_image(img0, scale_factor=(1, 1), interpolation=None):
     """Resize a complex image by (vertical, horizontal) scale factors.
 
-    Uses scipy spline zoom on real and imaginary parts (the reference used
-    OpenCV; scipy avoids the optional dependency and matches for the default
-    linear/cubic cases).
+    interpolation follows the OpenCV codes the reference used: None/0/1 =
+    linear, 2 = cubic, 4 = Lanczos-4. Linear/cubic use scipy spline zoom on
+    real and imaginary parts; Lanczos is a separable windowed-sinc resample
+    (dense matrices, complex-safe) since scipy has no Lanczos kernel.
     """
+    if interpolation == 4:
+        h, w = img0.shape[-2:]
+        hn = int(round(h * scale_factor[1]))
+        wn = int(round(w * scale_factor[0]))
+        ry = _lanczos_resample_matrix(h, hn)
+        rx = _lanczos_resample_matrix(w, wn)
+        return np.einsum("ay,...yx,bx->...ab", ry, img0, rx).astype(
+            img0.dtype
+        )
+
     import scipy.ndimage
 
     order = 1 if interpolation in (None, 0, 1) else 3
