@@ -154,3 +154,23 @@ def test_striped_requires_mesh_and_validates_options():
         tp.Reconstruction(data, params, object_sharding="striped")
     with pytest.raises(ValueError, match="replicated.*striped|striped"):
         tp.Reconstruction(data, params, object_sharding="bogus")
+
+
+def test_striped_num_batch_chunks_match_single_batch():
+    """Chunked (num_batch>1) compact accumulation == one batch per stripe.
+
+    The chunk split only reorders the numerator sums, so rPIE results must
+    agree to float tolerance; this is the memory knob for >HBM stripes.
+    """
+    psi_true, probe, scan, data = _setup(n=256)
+    mesh = make_mesh()
+    psi0 = np.full_like(psi_true, 0.5)
+    a = reconstruct_striped(
+        data, psi0, probe, scan, mesh=mesh, num_iter=3, num_batch=1
+    )
+    b = reconstruct_striped(
+        data, psi0, probe, scan, mesh=mesh, num_iter=3, num_batch=4
+    )
+    np.testing.assert_allclose(a[2], b[2], rtol=1e-4)  # costs
+    np.testing.assert_allclose(a[0], b[0], rtol=1e-3, atol=1e-5)  # psi
+    np.testing.assert_allclose(a[1], b[1], rtol=1e-3, atol=1e-5)  # probe

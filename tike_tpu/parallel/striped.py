@@ -156,15 +156,23 @@ def _striped_epoch_math(
     alpha: float,
     solver: str,
     noise_model: str,
-    data,  # (cap, det, det) local
+    num_batch: int,
+    data,  # (cap, det, det) local, cap = num_batch * lb
     scan,  # (cap, 2) local
     mask,  # (cap,)
     psi,  # (D, R, W) local
     probe,
     measured_pixels,
 ):
-    """One solver epoch on this device's stripe (inside shard_map)."""
-    idx = jnp.arange(scan.shape[0], dtype=jnp.int32)
+    """One solver epoch on this device's stripe (inside shard_map).
+
+    The stripe's positions are processed in ``num_batch`` chunks with
+    compact (accumulate-then-update) semantics: peak forward-model memory
+    is cap/num_batch patterns, the stripe analog of the reference's
+    mini-batch loop — and the knob that keeps >HBM stripes feasible.
+    """
+    cap = scan.shape[0]
+    lb = cap // num_batch
     # True valid count: 0 for empty stripes so they carry no weight in the
     # probe mean or the cost denominator (the reference's Allreduce_mean
     # weights by per-rank counts, `comm.py:96-110`).
@@ -173,38 +181,72 @@ def _striped_epoch_math(
     psi_pre = _psi_precond_math(cfg, psi, scan, probe, mask)
 
     if solver == "lstsq":
-        # LSQML joint-step update on this stripe's positions. Betas are
-        # estimated per stripe (each reference GPU solves its own 2x2
-        # systems); the probe is reconciled after the local update.
-        out = _lstsq_batch_math(
-            cfg,
-            data,
-            scan,
-            idx,
-            mask,
-            psi,
-            probe,
-            None,
-            None,
-            measured_pixels,
-            psi_pre,
-            0.5,
-            0.5,
-            1.0,
-            num_batch=1.0,
-            noise_model=noise_model,
-            steplength_usemodes="all_modes",
-            recover_psi=True,
-            recover_probe=True,
-            recover_positions=False,
+        # LSQML joint-step updates on this stripe's positions. Betas are
+        # estimated per chunk (each reference GPU solves its own 2x2
+        # systems); the object update accumulates across chunks (compact
+        # path of `lstsq_grad`), the probe updates per chunk, and the probe
+        # is reconciled across stripes after the epoch.
+        from tike_tpu.ptycho.solvers.lstsq import (
+            _precondition_object_update,
         )
-        costs = out["costs"]
+
+        def chunk_step(carry, b):
+            probe_c, obj_sum, beta_sum, beta_w, costs_acc = carry
+            idx = b * lb + jnp.arange(lb, dtype=jnp.int32)
+            bmask = jax.lax.dynamic_slice_in_dim(mask, b * lb, lb)
+            data_b = jax.lax.dynamic_slice_in_dim(data, b * lb, lb)
+            out = _lstsq_batch_math(
+                cfg,
+                data_b,
+                scan,
+                idx,
+                bmask,
+                psi,
+                probe_c,
+                None,
+                None,
+                measured_pixels,
+                psi_pre,
+                0.5,
+                0.5,
+                1.0,
+                num_batch=float(num_batch),
+                noise_model=noise_model,
+                steplength_usemodes="all_modes",
+                recover_psi=True,
+                recover_probe=True,
+                recover_positions=False,
+            )
+            has_valid = (jnp.sum(bmask) > 0).astype(jnp.float32)
+            obj_sum = obj_sum + jnp.where(
+                jnp.isfinite(out["object_upd_sum"]),
+                out["object_upd_sum"],
+                0,
+            )
+            beta_sum = beta_sum + out["beta_object"] * has_valid
+            beta_w = beta_w + has_valid
+            dprobe = out["beta_probe"] * out["m_probe_update"]
+            probe_c = probe_c + jnp.where(jnp.isfinite(dprobe), dprobe, 0)
+            costs_acc = jax.lax.dynamic_update_slice_in_dim(
+                costs_acc, out["costs"], b * lb, axis=0
+            )
+            return (probe_c, obj_sum, beta_sum, beta_w, costs_acc), None
+
+        carry0 = (
+            probe,
+            jnp.zeros_like(psi),
+            jnp.zeros((1,), psi.real.dtype),  # beta_object is shape (1,)
+            jnp.zeros((), jnp.float32),
+            jnp.zeros(cap, psi.real.dtype),
+        )
+        (probe_new, obj_sum, beta_sum, beta_w, costs), _ = jax.lax.scan(
+            chunk_step, carry0, jnp.arange(num_batch)
+        )
+        beta = beta_sum / jnp.maximum(beta_w, 1.0)
         # Empty stripes (no scan positions land in this device's rows)
         # produce 0/0 in the preconditioned update; contribute nothing.
-        dpsi = out["beta_object"] * out["object_update_precond"]
+        dpsi = beta * _precondition_object_update(obj_sum, psi_pre)
         psi = psi + jnp.where(jnp.isfinite(dpsi), dpsi, 0)
-        dprobe = out["beta_probe"] * out["m_probe_update"]
-        probe_new = probe + jnp.where(jnp.isfinite(dprobe), dprobe, 0)
         # Weighted mean over stripes (the reference's Allreduce_mean);
         # empty stripes contribute weight 0.
         probe = jax.lax.psum(probe_new * nvalid, BATCH_AXIS) / jnp.maximum(
@@ -213,23 +255,48 @@ def _striped_epoch_math(
     else:
         probe_pre = _probe_precond_math(cfg, psi, scan, mask)
         probe_pre = jax.lax.psum(probe_pre, BATCH_AXIS)
-        costs, psi_num, probe_num, _ = _batch_gradients_math(
-            cfg,
-            data,
-            scan,
-            idx,
-            mask,
-            psi,
-            probe,
-            None,
-            None,
-            measured_pixels,
-            0.5,
-            0.5,
-            1.0,
-            noise_model=noise_model,
-            steplength_usemodes="all_modes",
-            recover_probe=True,
+
+        def chunk_step(carry, b):
+            psi_num_acc, probe_num_acc, costs_acc = carry
+            idx = b * lb + jnp.arange(lb, dtype=jnp.int32)
+            bmask = jax.lax.dynamic_slice_in_dim(mask, b * lb, lb)
+            data_b = jax.lax.dynamic_slice_in_dim(data, b * lb, lb)
+            costs_b, psi_num, probe_num, _ = _batch_gradients_math(
+                cfg,
+                data_b,
+                scan,
+                idx,
+                bmask,
+                psi,
+                probe,
+                None,
+                None,
+                measured_pixels,
+                0.5,
+                0.5,
+                1.0,
+                noise_model=noise_model,
+                steplength_usemodes="all_modes",
+                recover_probe=True,
+            )
+            costs_acc = jax.lax.dynamic_update_slice_in_dim(
+                costs_acc, costs_b, b * lb, axis=0
+            )
+            return (
+                psi_num_acc + psi_num,
+                probe_num_acc + probe_num,
+                costs_acc,
+            ), None
+
+        carry0 = (
+            jnp.zeros_like(psi),
+            jnp.zeros(
+                (psi.shape[0], *probe.shape), probe.dtype
+            ),
+            jnp.zeros(cap, psi.real.dtype),
+        )
+        (psi_num, probe_num, costs), _ = jax.lax.scan(
+            chunk_step, carry0, jnp.arange(num_batch)
         )
         # Probe numerator summed over devices (the reference's Allreduce).
         probe_num = jax.lax.psum(probe_num, BATCH_AXIS)
@@ -342,8 +409,14 @@ def setup_striped(
     noise_model: str = "gaussian",
     alpha: float = 0.05,
     position_margin: int = 8,
+    num_batch: int = 1,
 ) -> StripedState:
-    """Shard the problem into row stripes and compile the epoch program."""
+    """Shard the problem into row stripes and compile the epoch program.
+
+    ``num_batch`` chunks each stripe's positions with compact
+    (accumulate-then-update) semantics, bounding the per-chunk forward
+    model to capacity/num_batch patterns.
+    """
     if solver not in ("rpie", "lstsq"):
         raise ValueError(f"striped mode supports rpie/lstsq, not {solver!r}")
     ndev = mesh.size
@@ -352,6 +425,13 @@ def setup_striped(
     plan = plan_stripes(
         np.asarray(scan), (h, w), p, ndev, position_margin=position_margin
     )
+    num_batch = max(1, min(int(num_batch), max(plan.capacity, 1)))
+    if plan.capacity % num_batch:
+        # Pad the per-stripe capacity so chunks are equal-sized.
+        plan = dataclasses.replace(
+            plan,
+            capacity=(-(-plan.capacity // num_batch)) * num_batch,
+        )
     data_s, scan_s, mask_s, psi_s = _shard_inputs(
         plan, np.asarray(data), np.asarray(scan), np.asarray(psi)
     )
@@ -375,6 +455,7 @@ def setup_striped(
             alpha,
             solver,
             noise_model,
+            num_batch,
             data_b[0],
             scan_b[0],
             mask_b[0],
@@ -440,6 +521,7 @@ def reconstruct_striped(
     solver: str = "rpie",
     noise_model: str = "gaussian",
     alpha: float = 0.05,
+    num_batch: int = 1,
 ) -> typing.Tuple[np.ndarray, np.ndarray, list]:
     """Row-striped reconstruction over a device mesh (functional API).
 
@@ -459,6 +541,7 @@ def reconstruct_striped(
         solver=solver,
         noise_model=noise_model,
         alpha=alpha,
+        num_batch=num_batch,
     )
     costs = [striped_epoch(state) for _ in range(num_iter)]
     psi_out, probe_out = striped_result(state)

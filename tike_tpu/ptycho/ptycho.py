@@ -389,12 +389,6 @@ class Reconstruction:
         solver = (
             "lstsq" if p.algorithm_options.name == "lstsq_grad" else "rpie"
         )
-        if p.algorithm_options.num_batch > 1:
-            logger.warning(
-                "striped mode runs each stripe as ONE batch per epoch; "
-                "algorithm_options.num_batch=%d is ignored",
-                p.algorithm_options.num_batch,
-            )
         if p.probe_options is not None and (
             p.probe_options.update_start != 0
             or p.probe_options.update_period != 1
@@ -430,6 +424,7 @@ class Reconstruction:
             else "gaussian",
             alpha=float(getattr(p.algorithm_options, "alpha", 0.05)),
             position_margin=margin,
+            num_batch=int(p.algorithm_options.num_batch),
         )
         self.parameters = copy.deepcopy(p)
         self.order = np.arange(p.scan.shape[0])
