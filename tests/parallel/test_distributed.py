@@ -104,3 +104,26 @@ def test_stripe_for_process_partitions_all_rows():
     maxes = [scan[s, 0].max() for s in stripes[:-1]]
     mins = [scan[s, 0].min() for s in stripes[1:]]
     assert all(m <= n for m, n in zip(maxes, mins))
+
+
+def test_dcn_mesh_axes_and_sharding():
+    """dcn_mesh builds a (process, local-chip) mesh usable for 2-D shardings."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import tike_tpu.parallel.distributed as dist
+
+    mesh = dist.dcn_mesh()
+    assert mesh.axis_names == ("dcn", "ici")
+    assert mesh.devices.shape == (
+        jax.process_count(),
+        jax.local_device_count(),
+    )
+    # A tensor sharded over ici and replicated over dcn compiles and runs.
+    x = jnp.arange(jax.local_device_count() * 8.0).reshape(
+        jax.local_device_count(), 8
+    )
+    y = jax.device_put(x, NamedSharding(mesh, P("ici", None)))
+    total = jax.jit(lambda v: jnp.sum(v))(y)
+    assert float(total) == float(jnp.sum(x))
