@@ -109,7 +109,7 @@ def test_public_api_striped_lstsq_multimode_matches_replicated():
             psi=psi0.copy(),
             scan=scan.copy(),
             algorithm_options=tp.LstsqOptions(
-                num_batch=1, num_iter=8, batch_method="compact"
+                num_batch=1, num_iter=6, batch_method="compact"
             ),
             object_options=tp.ObjectOptions(),
             probe_options=tp.ProbeOptions(
@@ -156,6 +156,7 @@ def test_striped_requires_mesh_and_validates_options():
         tp.Reconstruction(data, params, object_sharding="bogus")
 
 
+@pytest.mark.slow
 def test_striped_num_batch_chunks_match_single_batch():
     """Chunked (num_batch>1) compact accumulation == one batch per stripe.
 
