@@ -47,9 +47,20 @@ def _flops_per_pattern(det: int, p: int, nmodes: int) -> float:
     return 2 * nmodes * fft + elementwise + nmodes * patch
 
 
+def _siemens_path():
+    import os
+    local = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "data", "siemens-star-small.npz.bz2",
+    )
+    if os.path.isfile(local):
+        return local
+    return "/root/reference/tests/data/siemens-star-small.npz.bz2"
+
+
 def _siemens():
     with bz2.open(
-        "/root/reference/tests/data/siemens-star-small.npz.bz2", "rb"
+        _siemens_path(), "rb"
     ) as f:
         a = np.load(f)
         scan = a["scan"][0].astype(np.float32)

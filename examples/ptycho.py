@@ -13,7 +13,14 @@ import numpy as np
 
 import tike_tpu.ptycho as tp
 
-DATA = "/root/reference/tests/data/siemens-star-small.npz.bz2"
+import os as _os
+
+DATA = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)),
+    "..", "tests", "data", "siemens-star-small.npz.bz2",
+)
+if not _os.path.isfile(DATA):
+    DATA = "/root/reference/tests/data/siemens-star-small.npz.bz2"
 
 
 def load_dataset():

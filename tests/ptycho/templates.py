@@ -12,7 +12,14 @@ import numpy as np
 
 import tike_tpu.ptycho as tp
 
-DATA_FILE = "/root/reference/tests/data/siemens-star-small.npz.bz2"
+# The dataset is vendored in-repo (the reference ships it in its own
+# tests/data); fall back to the reference mount if the local copy is gone.
+_LOCAL = os.path.join(os.path.dirname(__file__), "..", "data")
+DATA_FILE = os.path.abspath(
+    os.path.join(_LOCAL, "siemens-star-small.npz.bz2")
+)
+if not os.path.isfile(DATA_FILE):
+    DATA_FILE = "/root/reference/tests/data/siemens-star-small.npz.bz2"
 
 
 def siemens_star_data(filename=DATA_FILE):

@@ -22,16 +22,22 @@ import pickle
 import numpy as np
 import pytest
 
+# Golden datasets are vendored in-repo (tests/data); the reference mount is
+# only a fallback if the local copies are removed.
+LOCAL_DATA = os.path.join(os.path.dirname(__file__), "data")
 REF_DATA = "/root/reference/tests/data"
 
 requires_golden = pytest.mark.skipif(
-    not os.path.isdir(REF_DATA),
-    reason="reference golden datasets not mounted",
+    not (os.path.isdir(LOCAL_DATA) or os.path.isdir(REF_DATA)),
+    reason="golden datasets not vendored or mounted",
 )
 
 
 def _load(name):
-    with lzma.open(os.path.join(REF_DATA, name), "rb") as f:
+    path = os.path.join(LOCAL_DATA, name)
+    if not os.path.isfile(path):
+        path = os.path.join(REF_DATA, name)
+    with lzma.open(path, "rb") as f:
         return pickle.load(f)
 
 
