@@ -80,12 +80,21 @@ def initialize(
                 "single-process mode (no distributed runtime): %s", error
             )
         return
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-        **kwargs,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            **kwargs,
+        )
+    except RuntimeError as error:
+        # Belt-and-braces for the private global_state probe above: if a
+        # future JAX moves that attribute, double initialization surfaces
+        # here instead — treat it as the documented no-op.
+        if "already initialized" in str(error):
+            logger.info("distributed runtime already attached: %s", error)
+            return
+        raise
 
 
 def global_mesh(axis_name: str = BATCH_AXIS) -> Mesh:

@@ -212,6 +212,14 @@ class Reconstruction:
                 "array. Raise num_batch or use more processes so the "
                 "per-process stripe fits in HBM."
             )
+        if store_data_on_device is False and object_sharding == "striped":
+            raise ValueError(
+                "host-streaming mode (store_data_on_device=False) is not "
+                "implemented for object_sharding='striped': each device "
+                "holds its stripe's diffraction data in HBM. Raise "
+                "num_batch to bound the per-chunk forward-model memory, "
+                "or use more devices so each stripe's data fits."
+            )
         if store_data_on_device is None:
             # Stream from host when the dataset is a large fraction of HBM
             # (v5e/v5p chips have 16-96 GB); 4 GB is a conservative cut.
@@ -529,14 +537,6 @@ class Reconstruction:
             and getattr(self.data, "ndim", 0) == 4
             and p.algorithm_options.rescale_method == "mean_of_abs_object"
             and p.algorithm_options.time_limit == np.inf
-            and not (
-                p.object_options is not None
-                and p.object_options.use_adaptive_moment
-            )
-            and not (
-                p.probe_options is not None
-                and p.probe_options.use_adaptive_moment
-            )
         )
 
     def _iterate_fused(self, num_iter: int) -> None:
@@ -625,6 +625,37 @@ class Reconstruction:
                 if p.position_options is not None
                 else 0.0
             ),
+            # Adaptive moments, matching the per-epoch paths: rPIE uses
+            # per-batch adam (non-compact) or epoch-end momentum_checked
+            # (compact); LSQML uses per-batch classical momentum
+            # (non-compact) or momentum_checked (compact) for the object
+            # and epoch-end momentum_checked for the probe.
+            obj_moment=(
+                (
+                    "checked"
+                    if compact
+                    else (
+                        "adam"
+                        if p.algorithm_options.name == "rpie"
+                        else "momentum"
+                    )
+                )
+                if oopts is not None and oopts.use_adaptive_moment
+                else "none"
+            ),
+            probe_moment=(
+                (
+                    ("checked" if compact else "adam")
+                    if p.algorithm_options.name == "rpie"
+                    else "checked"
+                )
+                if popts is not None and popts.use_adaptive_moment
+                else "none"
+            ),
+            obj_vdecay=(oopts.vdecay if oopts is not None else 0.999),
+            obj_mdecay=(oopts.mdecay if oopts is not None else 0.9),
+            probe_vdecay=(popts.vdecay if popts is not None else 0.999),
+            probe_mdecay=(popts.mdecay if popts is not None else 0.9),
         )
         if compact:
             orders = np.tile(np.arange(nb, dtype=np.int32), (num_iter, 1))
@@ -642,6 +673,63 @@ class Reconstruction:
                 mom = np.asarray(popt._momentum)
                 pos_v = jnp.asarray(mom[..., 0:2])
                 pos_m = jnp.asarray(mom[..., 2:4])
+        # Object/probe adaptive-moment states: continue from the options'
+        # stored states (the per-epoch path persists them there too), or
+        # initialize fresh per the moment kind.
+        from tike_tpu.utils.pairs import upload
+
+        obj_v = obj_m = probe_v = probe_m = err_hist = None
+        if plan.obj_moment != "none":
+            psi_shape = tuple(p.psi.shape)
+            obj_m = (
+                oopts.m
+                if oopts.m is not None
+                else upload(np.zeros(psi_shape, np.complex64))
+            )
+            if plan.obj_moment == "adam":
+                obj_v = (
+                    oopts.v
+                    if oopts.v is not None
+                    else jnp.zeros(psi_shape, jnp.float32)
+                )
+            elif plan.obj_moment == "checked":
+                obj_v = (
+                    oopts.v
+                    if oopts.v is not None
+                    else upload(np.zeros((3, *psi_shape), np.complex64))
+                )
+            else:  # classical momentum keeps no second state
+                obj_v = jnp.zeros((), jnp.float32)
+        if plan.probe_moment != "none":
+            pw = p.probe.shape[-1]
+            gshape = (
+                (pw, pw) if plan.solver == "rpie" else (1, 1, pw, pw)
+            )
+            probe_m = (
+                popts.m
+                if popts.m is not None
+                else upload(np.zeros(gshape, np.complex64))
+            )
+            if plan.probe_moment == "adam":
+                probe_v = (
+                    popts.v
+                    if popts.v is not None
+                    else jnp.zeros(gshape, jnp.float32)
+                )
+            else:
+                probe_v = (
+                    popts.v
+                    if popts.v is not None
+                    else upload(np.zeros((3, *gshape), np.complex64))
+                )
+        if "checked" in (plan.obj_moment, plan.probe_moment):
+            tail = [float(c[0]) for c in algo.costs[-2:]]
+            eh = np.full(3, np.inf, np.float32)
+            if len(tail) >= 1:
+                eh[2] = tail[-1]
+            if len(tail) >= 2:
+                eh[1] = tail[-2]
+            err_hist = jnp.asarray(eh)
         start = time.perf_counter()
         (
             psi,
@@ -651,6 +739,10 @@ class Reconstruction:
             scan,
             pos_v,
             pos_m,
+            obj_v,
+            obj_m,
+            probe_v,
+            probe_m,
             costs,
             powers,
         ) = iterate_program(
@@ -671,7 +763,19 @@ class Reconstruction:
             ew.unmeasured_pixels_scaling,
             pos_v,
             pos_m,
+            obj_v,
+            obj_m,
+            probe_v,
+            probe_m,
+            err_hist,
         )
+        if plan.obj_moment != "none":
+            oopts.m = obj_m
+            if plan.obj_moment != "momentum":
+                oopts.v = obj_v
+        if plan.probe_moment != "none":
+            popts.v = probe_v
+            popts.m = probe_m
         jax.block_until_ready(psi)
         elapsed = time.perf_counter() - start
         p.psi = psi

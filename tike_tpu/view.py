@@ -53,7 +53,11 @@ def _lanczos_resample_matrix(n_in: int, n_out: int, a: int = 4):
 
 
 def resize_complex_image(img0, scale_factor=(1, 1), interpolation=None):
-    """Resize a complex image by (vertical, horizontal) scale factors.
+    """Resize a complex image by (horizontal, vertical) scale factors.
+
+    The (x, y) ordering matches the reference's cv2.resize semantics:
+    scale_factor[0] scales the last (width) axis, scale_factor[1] the
+    second-to-last (height) axis.
 
     interpolation follows the OpenCV codes the reference used: None/0/1 =
     linear, 2 = cubic, 4 = Lanczos-4. Linear/cubic use scipy spline zoom on
