@@ -13,7 +13,10 @@ from tike_tpu.ops.usfft import (
     checkerboard,
     eq2us,
     gather,
+    gather_kb,
+    kb_parameters,
     scatter,
+    scatter_kb,
     us2eq,
     usfft_parameters,
 )
@@ -48,6 +51,62 @@ def test_eq2us_matches_direct_dft():
     want = _direct_eq2us(f, x, N_GRID)
     got = np.asarray(eq2us(jnp.asarray(f), jnp.asarray(x), N_GRID, 1e-6, 2))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3 * np.abs(want).max())
+
+
+def test_eq2us_gaussian_matches_direct_dft():
+    """The reference's Gaussian window stays as a cross-check oracle."""
+    f, x = _setup()
+    want = _direct_eq2us(f, x, N_GRID)
+    got = np.asarray(
+        eq2us(jnp.asarray(f), jnp.asarray(x), N_GRID, 1e-6, 2, "gaussian")
+    )
+    np.testing.assert_allclose(
+        got, want, rtol=1e-3, atol=1e-3 * np.abs(want).max()
+    )
+
+
+def test_kb_matches_gaussian():
+    """KB and Gaussian windows agree to the requested eps."""
+    f, x = _setup()
+    a = np.asarray(eq2us(jnp.asarray(f), jnp.asarray(x), N_GRID, 1e-6, 2, "kb"))
+    b = np.asarray(
+        eq2us(jnp.asarray(f), jnp.asarray(x), N_GRID, 1e-6, 2, "gaussian")
+    )
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4 * np.abs(b).max())
+
+
+def test_kb_tighter_eps_is_more_accurate():
+    """Accuracy tracks the eps knob (the reference's accuracy contract)."""
+    f, x = _setup()
+    want = _direct_eq2us(f, x, N_GRID)
+    scale = np.abs(want).max()
+    errs = []
+    for eps in (1e-2, 1e-4, 1e-6):
+        got = np.asarray(
+            eq2us(jnp.asarray(f), jnp.asarray(x), N_GRID, eps, 2, "kb")
+        )
+        errs.append(np.abs(got - want).max() / scale)
+    assert errs[0] > errs[2], errs
+    assert errs[2] < 1e-5, errs
+
+
+def test_kb_gather_scatter_adjoint():
+    f, x = _setup()
+    upsampled, pad, m, beta = kb_parameters(N_GRID, 1e-6, 2)
+    rng = np.random.default_rng(1)
+    Fe = random_complex(rng, upsampled, upsampled, upsampled)
+    vals = random_complex(rng, N_PTS)
+    g = gather_kb(jnp.asarray(Fe), jnp.asarray(x), upsampled, m, beta)
+    s = scatter_kb(jnp.asarray(vals), jnp.asarray(x), upsampled, m, beta)
+    check_adjoint(g, Fe, s, vals, rtol=1e-3)
+
+
+def test_kb_fewer_taps_than_gaussian():
+    """The point of the KB window: ~8x fewer (2m)^3 taps at equal eps."""
+    for eps in (1e-3, 1e-6):
+        _, _, _, m_gauss = usfft_parameters(N_GRID, eps, 2)
+        _, _, m_kb, _ = kb_parameters(N_GRID, eps, 2)
+        assert (2 * m_kb) ** 3 <= (2 * m_gauss) ** 3 / 4, (m_kb, m_gauss)
 
 
 def test_gather_scatter_adjoint():

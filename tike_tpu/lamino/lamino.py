@@ -23,12 +23,13 @@ __all__ = ["reconstruct", "simulate"]
 logger = logging.getLogger(__name__)
 
 
-def simulate(obj, theta, tilt, eps=1e-3, upsample=1, **kwargs):
+def simulate(obj, theta, tilt, eps=1e-3, upsample=1, kernel="kb", **kwargs):
     """Return complex values of simulated laminography data."""
     assert obj.ndim == 3
     assert np.ndim(theta) == 1
     cfg = LaminoConfig(
-        n=obj.shape[-1], tilt=float(tilt), eps=float(eps), upsample=upsample
+        n=obj.shape[-1], tilt=float(tilt), eps=float(eps), upsample=upsample,
+        kernel=kernel,
     )
     data = lamino_fwd_p(
         cfg,
@@ -50,6 +51,7 @@ def reconstruct(
     num_gpu=1,
     upsample=1,
     mesh=None,
+    kernel="kb",
     **kwargs,
 ):
     """Solve the laminography problem using the given algorithm.
@@ -68,7 +70,8 @@ def reconstruct(
             "The '{}' algorithm is not an available.".format(algorithm)
         )
     cfg = LaminoConfig(
-        n=obj.shape[-1], tilt=float(tilt), eps=float(eps), upsample=upsample
+        n=obj.shape[-1], tilt=float(tilt), eps=float(eps), upsample=upsample,
+        kernel=kernel,
     )
     # Pair-wrapped uploads: no complex array crosses a program boundary on
     # relay backends (tike_tpu.utils.pairs); plain complex arrays elsewhere.

@@ -28,6 +28,9 @@ class LaminoConfig:
     tilt: float
     eps: float = 1e-3
     upsample: float = 1.0
+    # Spreading window: "kb" (Kaiser-Bessel, ~8x fewer taps at equal eps)
+    # or "gaussian" (the reference's window, kept as a cross-check oracle).
+    kernel: str = "kb"
 
 
 def make_grids(theta, n: int, tilt: float):
@@ -73,7 +76,7 @@ def lamino_fwd(cfg: LaminoConfig, u, theta):
     2D FFT of each plane.
     """
     xi = make_grids(theta, cfg.n, cfg.tilt)
-    F = eq2us(u, xi, cfg.n, cfg.eps, cfg.upsample).reshape(
+    F = eq2us(u, xi, cfg.n, cfg.eps, cfg.upsample, cfg.kernel).reshape(
         theta.shape[0], cfg.n, cfg.n
     )
     return _centered_ifft2(F)
@@ -84,7 +87,7 @@ def lamino_adj(cfg: LaminoConfig, data, theta):
     """Adjoint laminography: projections -> volume (`lamino.py:109-144`)."""
     xi = make_grids(theta, cfg.n, cfg.tilt)
     F = _centered_fft2(data).reshape(-1)
-    u = us2eq(F, -xi, cfg.n, cfg.eps, cfg.upsample)
+    u = us2eq(F, -xi, cfg.n, cfg.eps, cfg.upsample, cfg.kernel)
     return u / cfg.n**2
 
 
