@@ -25,6 +25,9 @@ def _run(
     positions: bool = False,
     positions_adam: bool = False,
     convergence_window: int = 0,
+    batch_method: str = "compact",
+    obj_adaptive: bool = False,
+    probe_adaptive: bool = False,
 ):
     data, scan, probe, psi = siemens_star_subset()
     kwargs = {}
@@ -48,11 +51,14 @@ def _run(
         algorithm_options=algo_cls(
             num_iter=num_iter,
             num_batch=4,
-            batch_method="compact",
+            batch_method=batch_method,
             convergence_window=convergence_window,
         ),
-        object_options=tp.ObjectOptions(),
-        probe_options=tp.ProbeOptions(update_period=update_period),
+        object_options=tp.ObjectOptions(use_adaptive_moment=obj_adaptive),
+        probe_options=tp.ProbeOptions(
+            update_period=update_period,
+            use_adaptive_moment=probe_adaptive,
+        ),
         **kwargs,
     )
     with tp.Reconstruction(
@@ -112,6 +118,53 @@ def test_fused_matches_per_epoch(algo_cls, variant):
     if variant.startswith("positions"):
         # The two paths moved the positions identically.
         assert np.max(np.abs(scan_u - scan_f)) < 1e-3
+
+
+# Adaptive-moment configurations: compact -> momentum_checked (the traced
+# epoch-cost-trend decision), non-compact -> per-batch adam (rPIE) /
+# classical momentum (LSQML). One fast case per solver; the rest slow.
+_MOM_FAST = {("rpie", "checked")}
+_MOM_CASES = [
+    pytest.param(
+        algo_cls,
+        variant,
+        id=f"{algo_id}-{variant}",
+        marks=[]
+        if (algo_id, variant) in _MOM_FAST
+        else [pytest.mark.slow],
+    )
+    for algo_cls, algo_id in [
+        (tp.RpieOptions, "rpie"),
+        (tp.LstsqOptions, "lstsq"),
+    ]
+    for variant in ["adam", "checked", "checked_probe"]
+]
+
+
+@pytest.mark.parametrize("algo_cls,variant", _MOM_CASES)
+def test_fused_adaptive_moments_match_per_epoch(algo_cls, variant):
+    """Fused adaptive-moment configs == the per-epoch path, same seed.
+
+    'adam' = non-compact batches (per-batch adam / classical momentum);
+    'checked' = compact batches with object momentum_checked;
+    'checked_probe' adds the probe momentum too. Five epochs so the
+    cost-trend decision actually fires at least once.
+    """
+    kw = dict(
+        batch_method=(
+            "wobbly_center" if variant == "adam" else "compact"
+        ),
+        obj_adaptive=True,
+        probe_adaptive=variant == "checked_probe" or variant == "adam",
+        num_iter=5,
+    )
+    cf, psi_f, probe_f, _ = _run(algo_cls, fused=True, **kw)
+    cu, psi_u, probe_u, _ = _run(algo_cls, fused=False, **kw)
+    np.testing.assert_allclose(cf, cu, rtol=1e-3)
+    scale = np.max(np.abs(psi_u))
+    assert np.max(np.abs(psi_f - psi_u)) / scale < 2e-3
+    pscale = np.max(np.abs(probe_u))
+    assert np.max(np.abs(probe_f - probe_u)) / pscale < 2e-3
 
 
 @pytest.mark.slow

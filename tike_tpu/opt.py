@@ -144,6 +144,55 @@ def momentum_checked(
     return jnp.zeros_like(g), previous_g, m / 2
 
 
+def momentum_checked_traced(
+    g,
+    previous_g,
+    m,
+    mdecay,
+    err_hist,
+    n_epochs_done,
+    beta=1.0,
+):
+    """Traced :func:`momentum_checked` for fully-fused epoch programs.
+
+    Identical math, but the cost-trend decision becomes a `jnp.where`
+    blend on traced predicates so the whole multi-epoch `lax.scan` stays
+    one XLA program. ``err_hist`` is the (3,) on-device tail of the epoch
+    cost series (current epoch last); ``n_epochs_done`` the traced length
+    of that series. States must be pre-initialized arrays (``previous_g``:
+    (memory_length, *g.shape); ``m``: like g).
+    """
+    previous_g = jnp.roll(previous_g, shift=-1, axis=0)
+    gnorm = la.norm(g)
+    previous_g = previous_g.at[-1].set(
+        g / jnp.where(gnorm == 0, 1, gnorm) * beta
+    )
+    trending = jnp.logical_and(
+        n_epochs_done > 2,
+        jnp.maximum(err_hist[0], err_hist[1])
+        > jnp.minimum(err_hist[1], err_hist[2]),
+    )
+    corr = la.inner(
+        previous_g[:-1], previous_g[-1:], axis=(-2, -1)
+    ).real.reshape(-1)
+    allpos = jnp.all(corr > 0)
+    # Line fit of [0, log corr...] against [0..len]: the host version's
+    # fit_line_least_squares on the same points.
+    y = jnp.concatenate(
+        [jnp.zeros((1,), corr.dtype), jnp.log(jnp.maximum(corr, 1e-30))]
+    )
+    x = jnp.arange(y.shape[0], dtype=y.dtype)
+    count = y.shape[0]
+    slope = (count * jnp.sum(x * y) - x.sum() * y.sum()) / (
+        count * jnp.sum(x * x) - x.sum() ** 2
+    )
+    friction = 0.5 * jnp.maximum(-slope, 0)
+    take = jnp.logical_and(trending, allpos)
+    m_new = jnp.where(take, (1 - friction) * m + g, m / 2)
+    d = jnp.where(take, mdecay * m_new, jnp.zeros_like(g))
+    return d, previous_g, m_new
+
+
 def line_search(
     f, x, d, update_multi, step_length=1, linesearch_iterations=4, cost=None
 ):

@@ -76,6 +76,16 @@ class EpochPlan:
     pos_vdecay: float = 0.999
     pos_mdecay: float = 0.9
     pos_update_magnitude_limit: float = 0.0
+    # adaptive moments for object/probe (`rpie.py:335-457`,
+    # `lstsq.py:472-584` in this package; reference `rpie.py:154-206`,
+    # `lstsq.py:809-858`). The host decision logic of momentum_checked
+    # becomes traced predicates (opt.momentum_checked_traced).
+    obj_moment: str = "none"  # none | adam | momentum | checked
+    probe_moment: str = "none"  # none | adam | checked
+    obj_vdecay: float = 0.999
+    obj_mdecay: float = 0.9
+    probe_vdecay: float = 0.999
+    probe_mdecay: float = 0.9
 
 
 def _probe_constraints_math(plan: EpochPlan, probe):
@@ -134,18 +144,36 @@ def iterate_program(
     unmeasured_pixels_scaling,
     pos_v=None,        # (N, 2) f32 position-adam second moment
     pos_m=None,        # (N, 2) f32 position-adam first moment
+    obj_v=None,        # object moment 2nd state (shape per obj_moment)
+    obj_m=None,        # object moment 1st state (psi-shaped)
+    probe_v=None,      # probe moment 2nd state (shape per probe_moment)
+    probe_m=None,      # probe moment 1st state
+    err_hist=None,     # (3,) f32 tail of the epoch-cost series (oldest first)
 ):
     """Run ``plan.n_epochs`` full rPIE or LSQML epochs in one XLA program.
 
     Returns (psi, probe, eigen_probe, eigen_weights, scan, pos_v, pos_m,
-    costs (E, nb), powers (E, modes)).
+    obj_v, obj_m, probe_v, probe_m, costs (E, nb), powers (E, modes)).
     """
     cfg = plan.cfg
     nb = batch_idx.shape[0]
     alpha = jnp.asarray(plan.alpha, jnp.float32)
 
     def epoch_body(carry, e):
-        psi, probe, eigen_p, eigen_w, scan, pos_v, pos_m = carry
+        (
+            psi,
+            probe,
+            eigen_p,
+            eigen_w,
+            scan,
+            pos_v,
+            pos_m,
+            obj_v,
+            obj_m,
+            probe_v,
+            probe_m,
+            err_hist,
+        ) = carry
 
         total_e = epoch0 + e
         recover_now = jnp.logical_and(
@@ -197,6 +225,12 @@ def iterate_program(
                 probe_acc,
                 pos_num,
                 pos_den,
+                obj_v2,
+                obj_m2,
+                probe_v2,
+                probe_m2,
+                pcomb,
+                pbeta_sum,
             ) = carry2
             n = order[i]
             if plan.solver == "lstsq":
@@ -240,12 +274,22 @@ def iterate_program(
                     if plan.compact:
                         psi_acc = psi_acc + out["object_upd_sum"]
                     else:
-                        psi_c = psi_c + (
-                            beta * out["object_update_precond"]
-                        )
+                        dpsi = beta * out["object_update_precond"]
+                        if plan.obj_moment == "momentum":
+                            # Per-batch classical momentum
+                            # (`lstsq.py:477-492` host path).
+                            obj_m2 = (
+                                plan.obj_mdecay * obj_m2
+                                + (1 - plan.obj_mdecay) * dpsi
+                            )
+                            dpsi = obj_m2
+                        psi_c = psi_c + dpsi
                 if plan.recover_probe:
                     dprobe = out["beta_probe"] * out["m_probe_update"]
                     probe_c = probe_c + gate * dprobe
+                    if plan.probe_moment == "checked":
+                        pcomb = pcomb + dprobe / nb
+                        pbeta_sum = pbeta_sum + jnp.mean(out["beta_probe"])
                     if plan.has_eigen:
                         # Gate the OPR updates with the probe-recovery
                         # predicate (host control flow in the reference).
@@ -292,10 +336,36 @@ def iterate_program(
                             psi_pre
                         ).max(axis=(-2, -1), keepdims=True)
                         psi_c = psi_c + psi_num / deno
+                        if plan.obj_moment == "adam":
+                            # Per-batch adam on the numerator
+                            # (`rpie.py:386-414` host path).
+                            d2, obj_v2, obj_m2 = tike_tpu.opt.adam(
+                                psi_num,
+                                obj_v2,
+                                obj_m2,
+                                vdecay=plan.obj_vdecay,
+                                mdecay=plan.obj_mdecay,
+                            )
+                            psi_c = psi_c + d2 / deno
                     if plan.recover_probe:
                         ppre = jnp.abs(probe_pre[0])
                         pdeno = (1 - alpha) * ppre + alpha * ppre.max()
                         probe_c = probe_c + gate * probe_num[0] / pdeno
+                        if plan.probe_moment == "adam":
+                            d2, pv2, pm2 = tike_tpu.opt.adam(
+                                probe_num[0][0, 0, 0],
+                                probe_v2,
+                                probe_m2,
+                                vdecay=plan.probe_vdecay,
+                                mdecay=plan.probe_mdecay,
+                            )
+                            # Moment state only advances on probe-recovery
+                            # epochs (host gating in `rpie._update`).
+                            probe_v2 = jnp.where(recover_now, pv2, probe_v2)
+                            probe_m2 = jnp.where(recover_now, pm2, probe_m2)
+                            probe_c = probe_c.at[0, 0, 0].add(
+                                gate * d2 / pdeno
+                            )
             cost = jnp.sum(costs * batch_mask[n]) / jnp.maximum(
                 jnp.sum(batch_mask[n]), 1
             )
@@ -309,6 +379,12 @@ def iterate_program(
                     probe_acc,
                     pos_num,
                     pos_den,
+                    obj_v2,
+                    obj_m2,
+                    probe_v2,
+                    probe_m2,
+                    pcomb,
+                    pbeta_sum,
                 ),
                 (n, cost, beta_obj),
             )
@@ -316,14 +392,58 @@ def iterate_program(
         psi_acc0 = jnp.zeros_like(psi)
         probe_acc0 = jnp.zeros((psi.shape[0], *probe.shape), probe.dtype)
         pos_acc0 = jnp.zeros_like(scan)
+        # The probe_combined_update accumulator resets every epoch
+        # (`lstsq.py:411-418` host path); the moment states persist.
+        pcomb0 = (
+            jnp.zeros_like(probe)
+            if plan.solver == "lstsq" and plan.probe_moment == "checked"
+            else jnp.zeros((), probe.real.dtype)
+        )
         (
-            (psi, probe, eigen_p, eigen_w, psi_acc, probe_acc, pos_num, pos_den),
+            (
+                psi,
+                probe,
+                eigen_p,
+                eigen_w,
+                psi_acc,
+                probe_acc,
+                pos_num,
+                pos_den,
+                obj_v,
+                obj_m,
+                probe_v,
+                probe_m,
+                pcomb,
+                pbeta_sum,
+            ),
             (ns, costs, beta_objs),
         ) = jax.lax.scan(
             batch_step,
-            (psi, probe, eigen_p, eigen_w, psi_acc0, probe_acc0, pos_acc0, pos_acc0),
+            (
+                psi,
+                probe,
+                eigen_p,
+                eigen_w,
+                psi_acc0,
+                probe_acc0,
+                pos_acc0,
+                pos_acc0,
+                obj_v,
+                obj_m,
+                probe_v,
+                probe_m,
+                pcomb0,
+                jnp.zeros((), jnp.float32),
+            ),
             jnp.arange(nb),
         )
+        # Epoch cost and its on-device history tail: the host path appends
+        # the batch-mean cost to algorithm_options.costs before the
+        # momentum-checked decision consults the last three entries.
+        costs_by_batch = jnp.zeros(nb, costs.dtype).at[ns].set(costs)
+        epoch_cost = jnp.mean(costs_by_batch)
+        err_hist = jnp.roll(err_hist, shift=-1).at[-1].set(epoch_cost)
+        n_done = total_e + 1
         # Position update once per epoch (`lstsq.py:764-806` semantics),
         # gated on the traced epoch predicate like the host control flow.
         if plan.recover_positions:
@@ -355,19 +475,87 @@ def iterate_program(
         if plan.compact:
             if plan.solver == "lstsq":
                 if plan.recover_psi:
-                    psi = psi + jnp.mean(
-                        beta_objs
-                    ) * _precondition_object_update(psi_acc, psi_pre)
+                    bobj = jnp.mean(beta_objs)
+                    dpsi = bobj * _precondition_object_update(
+                        psi_acc, psi_pre
+                    )
+                    psi = psi + dpsi
+                    if plan.obj_moment == "checked":
+                        # Epoch-end momentum_checked on the preconditioned
+                        # step, weighted by the preconditioner magnitude
+                        # (`lstsq.py:519-550` host path).
+                        d2, obj_v, obj_m = (
+                            tike_tpu.opt.momentum_checked_traced(
+                                dpsi,
+                                obj_v,
+                                obj_m,
+                                plan.obj_mdecay,
+                                err_hist,
+                                n_done,
+                                beta=bobj,
+                            )
+                        )
+                        W = jnp.abs(psi_pre)
+                        psi = psi + (W / (0.1 * W.max() + W)) * d2
             else:
                 if plan.recover_psi:
                     deno = (1 - alpha) * psi_pre + alpha * jnp.abs(
                         psi_pre
                     ).max(axis=(-2, -1), keepdims=True)
                     psi = psi + psi_acc / deno
+                    if plan.obj_moment == "checked":
+                        # (`rpie.py:386-414` host path with errors.)
+                        d2, obj_v, obj_m = (
+                            tike_tpu.opt.momentum_checked_traced(
+                                psi_acc,
+                                obj_v,
+                                obj_m,
+                                plan.obj_mdecay,
+                                err_hist,
+                                n_done,
+                            )
+                        )
+                        psi = psi + d2 / deno
                 if plan.recover_probe:
                     ppre = jnp.abs(probe_pre[0])
                     pdeno = (1 - alpha) * ppre + alpha * ppre.max()
                     probe = probe + gate * probe_acc[0] / pdeno
+                    if plan.probe_moment == "checked":
+                        d2, pv2, pm2 = (
+                            tike_tpu.opt.momentum_checked_traced(
+                                probe_acc[0][0, 0, 0],
+                                probe_v,
+                                probe_m,
+                                plan.probe_mdecay,
+                                err_hist,
+                                n_done,
+                            )
+                        )
+                        probe_v = jnp.where(recover_now, pv2, probe_v)
+                        probe_m = jnp.where(recover_now, pm2, probe_m)
+                        probe = probe.at[0, 0, 0].add(gate * d2 / pdeno)
+
+        if (
+            plan.solver == "lstsq"
+            and plan.recover_probe
+            and plan.probe_moment == "checked"
+        ):
+            # Epoch-end momentum_checked on the mean probe update, main
+            # mode only (`lstsq.py:552-584` host path; runs for compact and
+            # non-compact alike).
+            bprb = pbeta_sum / nb
+            d2, pv2, pm2 = tike_tpu.opt.momentum_checked_traced(
+                pcomb[..., 0, :, :],
+                probe_v,
+                probe_m,
+                plan.probe_mdecay,
+                err_hist,
+                n_done,
+                beta=bprb,
+            )
+            probe_v = jnp.where(recover_now, pv2, probe_v)
+            probe_m = jnp.where(recover_now, pm2, probe_m)
+            probe = probe.at[..., 0, :, :].add(gate * d2)
 
         if plan.has_eigen and plan.solver == "rpie":
             # Epsilon keeps all-zero weight columns at zero (see
@@ -402,9 +590,21 @@ def iterate_program(
                 psi = psi / scale
                 probe = probe * scale
 
-        costs_by_batch = jnp.zeros(nb, costs.dtype).at[ns].set(costs)
         return (
-            (psi, probe, eigen_p, eigen_w, scan, pos_v, pos_m),
+            (
+                psi,
+                probe,
+                eigen_p,
+                eigen_w,
+                scan,
+                pos_v,
+                pos_m,
+                obj_v,
+                obj_m,
+                probe_v,
+                probe_m,
+                err_hist,
+            ),
             (costs_by_batch, pwr),
         )
 
@@ -416,12 +616,48 @@ def iterate_program(
         pos_v = jnp.zeros_like(scan) if plan.recover_positions else jnp.zeros((), jnp.float32)
     if pos_m is None:
         pos_m = jnp.zeros_like(scan) if plan.recover_positions else jnp.zeros((), jnp.float32)
+    if obj_v is None:
+        obj_v = jnp.zeros((), jnp.float32)
+    if obj_m is None:
+        obj_m = jnp.zeros((), jnp.float32)
+    if probe_v is None:
+        probe_v = jnp.zeros((), jnp.float32)
+    if probe_m is None:
+        probe_m = jnp.zeros((), jnp.float32)
+    if err_hist is None:
+        err_hist = jnp.full((3,), jnp.inf, jnp.float32)
     (
-        (psi, probe, eigen_probe, eigen_weights, scan, pos_v, pos_m),
+        (
+            psi,
+            probe,
+            eigen_probe,
+            eigen_weights,
+            scan,
+            pos_v,
+            pos_m,
+            obj_v,
+            obj_m,
+            probe_v,
+            probe_m,
+            err_hist,
+        ),
         (all_costs, all_powers),
     ) = jax.lax.scan(
         epoch_body,
-        (psi, probe, eigen_probe, eigen_weights, scan, pos_v, pos_m),
+        (
+            psi,
+            probe,
+            eigen_probe,
+            eigen_weights,
+            scan,
+            pos_v,
+            pos_m,
+            obj_v,
+            obj_m,
+            probe_v,
+            probe_m,
+            err_hist,
+        ),
         jnp.arange(plan.n_epochs),
     )
     return (
@@ -432,6 +668,10 @@ def iterate_program(
         scan,
         pos_v,
         pos_m,
+        obj_v,
+        obj_m,
+        probe_v,
+        probe_m,
         all_costs,
         all_powers,
     )
