@@ -100,20 +100,21 @@ def kb_parameters(n: int, eps: float, upsample: float = 2):
     pad = (upsampled - n) // 2
     sigma = upsampled / n
     if sigma < 1.25:
-        # Near-critical sampling: accuracy is aliasing-limited no matter the
-        # window (the reference's Gaussian at upsample=1 is equally limited),
-        # so pay only the minimum support. The fwd/adj pair stays exactly
-        # adjoint regardless.
-        ns = 4
-        sigma = 1.25
-    else:
-        # Error decays ~exp(-pi * sqrt(1 - 1/sigma) * ns); rounding the
-        # support up to even adds safety margin (measured vs the direct DFT:
-        # error within 2x of eps for eps in [1e-2, 1e-6] at sigma in {2, 4},
-        # down to the float32 noise floor ~1e-6).
-        rate = np.pi * np.sqrt(1 - 1 / sigma)
-        ns = int(np.ceil(-np.log(eps) / rate))
-        ns = max(4, ns + (ns % 2))  # even so taps pair around floor(n x)
+        # Near-critical sampling: accuracy is aliasing-limited no matter
+        # the window, so pay only the minimum 2-point support (grid-tuned
+        # beta). Measured at sigma=1 vs the direct DFT: relerr 0.47 with 8
+        # taps, vs 0.94 for the reference's own Gaussian with 64 taps —
+        # strictly more accurate AND 8x less scatter work. The fwd/adj
+        # pair stays exactly adjoint regardless; use upsample >= 2 when
+        # kernel accuracy matters.
+        return upsampled, pad, 1, 2.0
+    # Error decays ~exp(-pi * sqrt(1 - 1/sigma) * ns); rounding the
+    # support up to even adds safety margin (measured vs the direct DFT:
+    # error within 2x of eps for eps in [1e-2, 1e-6] at sigma in {2, 4},
+    # down to the float32 noise floor ~1e-6).
+    rate = np.pi * np.sqrt(1 - 1 / sigma)
+    ns = int(np.ceil(-np.log(eps) / rate))
+    ns = max(4, ns + (ns % 2))  # even so taps pair around floor(n x)
     m = ns // 2
     beta = np.pi * np.sqrt((ns / sigma) ** 2 * (sigma - 0.5) ** 2 - 0.8)
     return upsampled, pad, m, float(beta)

@@ -7,22 +7,29 @@ cross-fade each epoch, and the stripes are stitched at the end
 (`ptycho/ptycho.py:371-396,491-502`, `pool.py:415-476`, `object.py:154-167`
 in `/root/reference/src/tike`).
 
-Design here: one `shard_map` over the device mesh. Every device owns
+Design: ONE `shard_map` over the device mesh running the SAME fused epoch
+math as the replicated path (`tike_tpu.ptycho.solvers.fused._epoch_math`)
+with a `StripeComm` that inserts the cross-stripe collectives — weighted
+probe/eigen psum-means, pooled probe preconditioner, global epoch cost for
+the momentum decisions, and the psi halo cross-fade. Because the epoch math
+is shared, the striped path supports the full solver feature set: eigen
+(OPR) probes, position correction, adaptive moments, probe constraints and
+the update schedule, object constraints, and periodic rescaling — exactly
+like the reference runs the complete solver on every GPU stripe
+(`/root/reference/src/tike/ptycho/ptycho.py:463-525`).
+
+Every device owns
 
 - a local psi window of R = Hs + 2*halo rows (stripe height Hs = ceil(H/n),
-  halo >= probe_width + 1 so every local window read/write stays in-bounds;
-  the extra margin absorbs fractional offsets and position drift),
-- its stripe's diffraction patterns and scan positions (rebased to local
-  row coordinates, padded to a common count with a validity mask).
+  halo >= probe_width + 1 plus a position-drift margin),
+- its stripe's diffraction patterns in batch-major layout, scan positions
+  rebased to local rows, per-stripe mini-batch clusters (the reference
+  clusters batches *within* each stripe, `cluster.py:238-242`), and local
+  eigen weights / position states.
 
-Each epoch runs the solver update locally (rPIE compact numerators, or the
-LSQML joint-step update), reconciles the probe across the mesh (`psum`, the
-reference's Allreduce_mean, `comm.py:96-110`), and blends the 2*halo seam
-rows with the neighbor via `ppermute` + linear cross-fade (both neighbors
-compute the identical blend, so the duplicated state stays consistent).
 The replicated path remains the default when psi fits in HBM; this module
-is the scaling path for objects larger than per-chip HBM and is reachable
-from the public driver via ``Reconstruction(..., object_sharding="striped")``.
+is the scaling path for objects larger than per-chip HBM, reachable via
+``Reconstruction(..., object_sharding="striped")``.
 """
 
 from __future__ import annotations
@@ -37,13 +44,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tike_tpu.ops.ptycho import PtychoConfig
-from tike_tpu.ptycho.solvers._preconditioner import (
-    _probe_precond_math,
-    _psi_precond_math,
-)
-from tike_tpu.ptycho.solvers.rpie import _batch_gradients_math
-from tike_tpu.ptycho.solvers.lstsq import _lstsq_batch_math
-from tike_tpu.utils.pairs import pair_jit
+from tike_tpu.ptycho.solvers.fused import EpochPlan, StripeComm, _epoch_math
+from tike_tpu.utils.pairs import pair_jit, upload
 from tike_tpu.utils.transfer import to_host
 
 from . import BATCH_AXIS
@@ -98,47 +100,6 @@ def plan_stripes(
     )
 
 
-def _shard_inputs(plan: StripePlan, data, scan, psi):
-    """Build per-device stacked arrays (leading axis = device)."""
-    nd, cap = plan.ndev, plan.capacity
-    det = data.shape[-1]
-    d, h, w = psi.shape
-    data_s = np.zeros((nd, cap, det, det), np.float32)
-    scan_s = np.zeros((nd, cap, 2), np.float32)
-    mask_s = np.zeros((nd, cap), np.float32)
-    for k in range(nd):
-        sel = np.flatnonzero(plan.assignment == k)
-        n = len(sel)
-        data_s[k, :n] = data[sel]
-        local = scan[sel].copy()
-        # Rebase to local rows: global row r -> r - k*Hs + halo.
-        local[:, 0] += plan.halo - k * plan.stripe_height
-        scan_s[k, :n] = local
-        if n:
-            scan_s[k, n:] = local[0]
-        else:
-            scan_s[k, :] = (plan.halo + 1, 1)
-        mask_s[k, :n] = 1.0
-    # Local psi windows: rows [k*Hs - halo, k*Hs + Hs + halo), zero-padded
-    # outside the global object.
-    psi_pad = np.pad(
-        np.asarray(psi),
-        ((0, 0), (plan.halo, plan.halo + nd * plan.stripe_height - h), (0, 0)),
-        constant_values=1.0,
-    )
-    psi_s = np.stack(
-        [
-            psi_pad[
-                :,
-                k * plan.stripe_height : k * plan.stripe_height
-                + plan.local_height,
-            ]
-            for k in range(nd)
-        ]
-    ).astype(np.complex64)
-    return data_s, scan_s, mask_s, psi_s
-
-
 def stitch(plan: StripePlan, psi_s: np.ndarray, h: int) -> np.ndarray:
     """Crop each stripe's interior rows and concatenate (`join_psi`)."""
     parts = [
@@ -146,214 +107,6 @@ def stitch(plan: StripePlan, psi_s: np.ndarray, h: int) -> np.ndarray:
         for k in range(plan.ndev)
     ]
     return np.concatenate(parts, axis=-2)[:, :h]
-
-
-def _striped_epoch_math(
-    cfg: PtychoConfig,
-    plan_halo: int,
-    plan_hs: int,
-    ndev: int,
-    alpha: float,
-    solver: str,
-    noise_model: str,
-    num_batch: int,
-    data,  # (cap, det, det) local, cap = num_batch * lb
-    scan,  # (cap, 2) local
-    mask,  # (cap,)
-    psi,  # (D, R, W) local
-    probe,
-    measured_pixels,
-):
-    """One solver epoch on this device's stripe (inside shard_map).
-
-    The stripe's positions are processed in ``num_batch`` chunks with
-    compact (accumulate-then-update) semantics: peak forward-model memory
-    is cap/num_batch patterns, the stripe analog of the reference's
-    mini-batch loop — and the knob that keeps >HBM stripes feasible.
-    """
-    cap = scan.shape[0]
-    lb = cap // num_batch
-    # True valid count: 0 for empty stripes so they carry no weight in the
-    # probe mean or the cost denominator (the reference's Allreduce_mean
-    # weights by per-rank counts, `comm.py:96-110`).
-    nvalid = jnp.sum(mask)
-
-    psi_pre = _psi_precond_math(cfg, psi, scan, probe, mask)
-
-    if solver == "lstsq":
-        # LSQML joint-step updates on this stripe's positions. Betas are
-        # estimated per chunk (each reference GPU solves its own 2x2
-        # systems); the object update accumulates across chunks (compact
-        # path of `lstsq_grad`), the probe updates per chunk, and the probe
-        # is reconciled across stripes after the epoch.
-        from tike_tpu.ptycho.solvers.lstsq import (
-            _precondition_object_update,
-        )
-
-        def chunk_step(carry, b):
-            probe_c, obj_sum, beta_sum, beta_w, costs_acc = carry
-            idx = b * lb + jnp.arange(lb, dtype=jnp.int32)
-            bmask = jax.lax.dynamic_slice_in_dim(mask, b * lb, lb)
-            data_b = jax.lax.dynamic_slice_in_dim(data, b * lb, lb)
-            out = _lstsq_batch_math(
-                cfg,
-                data_b,
-                scan,
-                idx,
-                bmask,
-                psi,
-                probe_c,
-                None,
-                None,
-                measured_pixels,
-                psi_pre,
-                0.5,
-                0.5,
-                1.0,
-                num_batch=float(num_batch),
-                noise_model=noise_model,
-                steplength_usemodes="all_modes",
-                recover_psi=True,
-                recover_probe=True,
-                recover_positions=False,
-            )
-            has_valid = (jnp.sum(bmask) > 0).astype(jnp.float32)
-            obj_sum = obj_sum + jnp.where(
-                jnp.isfinite(out["object_upd_sum"]),
-                out["object_upd_sum"],
-                0,
-            )
-            beta_sum = beta_sum + out["beta_object"] * has_valid
-            beta_w = beta_w + has_valid
-            dprobe = out["beta_probe"] * out["m_probe_update"]
-            probe_c = probe_c + jnp.where(jnp.isfinite(dprobe), dprobe, 0)
-            costs_acc = jax.lax.dynamic_update_slice_in_dim(
-                costs_acc, out["costs"], b * lb, axis=0
-            )
-            return (probe_c, obj_sum, beta_sum, beta_w, costs_acc), None
-
-        carry0 = (
-            probe,
-            jnp.zeros_like(psi),
-            jnp.zeros((1,), psi.real.dtype),  # beta_object is shape (1,)
-            jnp.zeros((), jnp.float32),
-            jnp.zeros(cap, psi.real.dtype),
-        )
-        (probe_new, obj_sum, beta_sum, beta_w, costs), _ = jax.lax.scan(
-            chunk_step, carry0, jnp.arange(num_batch)
-        )
-        beta = beta_sum / jnp.maximum(beta_w, 1.0)
-        # Empty stripes (no scan positions land in this device's rows)
-        # produce 0/0 in the preconditioned update; contribute nothing.
-        dpsi = beta * _precondition_object_update(obj_sum, psi_pre)
-        psi = psi + jnp.where(jnp.isfinite(dpsi), dpsi, 0)
-        # Weighted mean over stripes (the reference's Allreduce_mean);
-        # empty stripes contribute weight 0.
-        probe = jax.lax.psum(probe_new * nvalid, BATCH_AXIS) / jnp.maximum(
-            jax.lax.psum(nvalid, BATCH_AXIS), 1.0
-        )
-    else:
-        probe_pre = _probe_precond_math(cfg, psi, scan, mask)
-        probe_pre = jax.lax.psum(probe_pre, BATCH_AXIS)
-
-        def chunk_step(carry, b):
-            psi_num_acc, probe_num_acc, costs_acc = carry
-            idx = b * lb + jnp.arange(lb, dtype=jnp.int32)
-            bmask = jax.lax.dynamic_slice_in_dim(mask, b * lb, lb)
-            data_b = jax.lax.dynamic_slice_in_dim(data, b * lb, lb)
-            costs_b, psi_num, probe_num, _ = _batch_gradients_math(
-                cfg,
-                data_b,
-                scan,
-                idx,
-                bmask,
-                psi,
-                probe,
-                None,
-                None,
-                measured_pixels,
-                0.5,
-                0.5,
-                1.0,
-                noise_model=noise_model,
-                steplength_usemodes="all_modes",
-                recover_probe=True,
-            )
-            costs_acc = jax.lax.dynamic_update_slice_in_dim(
-                costs_acc, costs_b, b * lb, axis=0
-            )
-            return (
-                psi_num_acc + psi_num,
-                probe_num_acc + probe_num,
-                costs_acc,
-            ), None
-
-        carry0 = (
-            jnp.zeros_like(psi),
-            jnp.zeros(
-                (psi.shape[0], *probe.shape), probe.dtype
-            ),
-            jnp.zeros(cap, psi.real.dtype),
-        )
-        (psi_num, probe_num, costs), _ = jax.lax.scan(
-            chunk_step, carry0, jnp.arange(num_batch)
-        )
-        # Probe numerator summed over devices (the reference's Allreduce).
-        probe_num = jax.lax.psum(probe_num, BATCH_AXIS)
-        deno = (1 - alpha) * psi_pre + alpha * jnp.abs(psi_pre).max(
-            axis=(-2, -1), keepdims=True
-        )
-        # Empty stripes have an all-zero preconditioner; contribute nothing
-        # rather than 0/0.
-        ok = jnp.abs(deno) > 0
-        psi = psi + jnp.where(ok, psi_num / jnp.where(ok, deno, 1), 0)
-        ppre = jnp.abs(probe_pre[0])
-        probe = probe + probe_num[0] / (
-            (1 - alpha) * ppre + alpha * ppre.max()
-        )
-
-    cost = jax.lax.psum(jnp.sum(costs * mask), BATCH_AXIS) / jnp.maximum(
-        jax.lax.psum(nvalid, BATCH_AXIS), 1.0
-    )
-
-    # Halo reconciliation: blend the 2*halo seam rows with each neighbor.
-    # Both sides compute the identical cross-fade, so duplicated rows agree.
-    w2 = 2 * plan_halo
-    i = jax.lax.axis_index(BATCH_AXIS)
-    seam_bot = jax.lax.dynamic_slice_in_dim(psi, plan_hs, w2, axis=-2)
-    seam_top = jax.lax.dynamic_slice_in_dim(psi, 0, w2, axis=-2)
-    from_below = jax.lax.ppermute(
-        seam_top, BATCH_AXIS, [(j, (j - 1) % ndev) for j in range(ndev)]
-    )
-    from_above = jax.lax.ppermute(
-        seam_bot, BATCH_AXIS, [(j, (j + 1) % ndev) for j in range(ndev)]
-    )
-    ramp = jnp.linspace(0.0, 1.0, w2 + 2, dtype=jnp.float32)[1:-1][
-        None, :, None
-    ]
-    blended_bot = (1 - ramp) * seam_bot + ramp * from_below
-    blended_top = (1 - ramp) * from_above + ramp * seam_top
-    new_bot = jnp.where(i < ndev - 1, blended_bot, seam_bot)
-    new_top = jnp.where(i > 0, blended_top, seam_top)
-    psi = jax.lax.dynamic_update_slice_in_dim(psi, new_bot, plan_hs, axis=-2)
-    psi = jax.lax.dynamic_update_slice_in_dim(psi, new_top, 0, axis=-2)
-
-    return psi, probe, cost
-
-
-@dataclasses.dataclass
-class StripedState:
-    """Device-resident state of a striped reconstruction in progress."""
-
-    plan: StripePlan
-    cfg: PtychoConfig
-    epoch_fn: typing.Callable
-    psi: jax.Array  # (ndev, D, R, W) device-sharded local windows
-    probe: jax.Array
-    data: jax.Array
-    scan: jax.Array
-    mask: jax.Array
-    height: int  # global object rows (for stitching)
 
 
 def estimate_probe_rescale(
@@ -398,6 +151,654 @@ def estimate_probe_rescale(
     return float(np.sqrt(measured / (model + 1e-32)))
 
 
+@dataclasses.dataclass
+class StripedState:
+    """Device-resident state of a striped reconstruction in progress."""
+
+    plan: StripePlan
+    epoch_plan: EpochPlan  # static config of one epoch (n_epochs ignored)
+    comm: StripeComm
+    mesh: Mesh
+    height: int  # global object rows (for stitching)
+    order: typing.List[np.ndarray]  # per-stripe global indices, batch order
+    # --- device-resident, stripe-major (leading axis = device) ---
+    psi: jax.Array  # (ndev, D, R, W)
+    data: jax.Array  # (ndev, nb, L, DET, DET)
+    scan: jax.Array  # (ndev, cap, 2) local-row coordinates
+    batch_idx: jax.Array  # (ndev, nb, L)
+    batch_mask: jax.Array  # (ndev, nb, L)
+    row_mask: jax.Array  # (ndev, R)
+    pos_mask: jax.Array  # (ndev, cap)
+    eigen_w: typing.Any  # (ndev, cap, C, M) or None
+    pos_v: typing.Any
+    pos_m: typing.Any
+    obj_v: typing.Any
+    obj_m: typing.Any
+    # --- replicated ---
+    probe: typing.Any
+    eigen_p: typing.Any
+    probe_v: typing.Any
+    probe_m: typing.Any
+    err_hist: typing.Any
+    measured_pixels: typing.Any
+    step_length_start: float
+    step_length_weight: float
+    unmeasured_pixels_scaling: float
+    epochs_done: int = 0
+    _programs: dict = dataclasses.field(default_factory=dict)
+    _rng: np.random.Generator = dataclasses.field(
+        default_factory=lambda: np.random.default_rng(0)
+    )
+
+    # -- helpers ----------------------------------------------------------
+    def _nb(self) -> int:
+        return int(self.batch_idx.shape[1])
+
+    def _program(self, n_epochs: int):
+        key = n_epochs
+        if key in self._programs:
+            return self._programs[key]
+        plan = dataclasses.replace(self.epoch_plan, n_epochs=n_epochs)
+        comm = self.comm
+        mesh = self.mesh
+        dev = P(BATCH_AXIS)
+        rep = P()
+
+        has_eigen = plan.has_eigen
+        has_pos = plan.recover_positions
+        obj_mom = plan.obj_moment != "none"
+        obj_mom_dev = obj_mom  # psi-shaped states live with the stripe
+        probe_mom = plan.probe_moment != "none"
+
+        def run(
+            epoch0,
+            data,
+            scan,
+            batch_idx,
+            batch_mask,
+            orders,
+            psi,
+            probe,
+            eigen_p,
+            eigen_w,
+            measured,
+            row_mask,
+            pos_mask,
+            pos_v,
+            pos_m,
+            obj_v,
+            obj_m,
+            probe_v,
+            probe_m,
+            err_hist,
+            sls,
+            slw,
+            ups,
+        ):
+            # shard_map keeps a leading length-1 device axis on
+            # stripe-major blocks; strip it for the epoch math.
+            local = lambda x: x[0]
+            psi_l = local(psi)
+            scan_l = local(scan)
+            ew_l = local(eigen_w) if has_eigen else None
+            pv_l = local(pos_v) if has_pos else pos_v
+            pm_l = local(pos_m) if has_pos else pos_m
+            ov_l = local(obj_v) if obj_mom_dev else obj_v
+            om_l = local(obj_m) if obj_mom_dev else obj_m
+
+            def epoch_body(carry, e):
+                return _epoch_math(
+                    plan,
+                    comm,
+                    epoch0,
+                    local(data),
+                    local(batch_idx),
+                    local(batch_mask),
+                    orders,
+                    measured,
+                    sls,
+                    slw,
+                    ups,
+                    local(row_mask),
+                    local(pos_mask),
+                    carry,
+                    e,
+                )
+
+            carry0 = (
+                psi_l,
+                probe,
+                eigen_p if has_eigen else jnp.zeros((), jnp.float32),
+                ew_l if has_eigen else jnp.zeros((), jnp.float32),
+                scan_l,
+                pv_l,
+                pm_l,
+                ov_l,
+                om_l,
+                probe_v,
+                probe_m,
+                err_hist,
+            )
+            (
+                (
+                    psi_l,
+                    probe,
+                    eigen_p2,
+                    ew_l,
+                    scan_l,
+                    pv_l,
+                    pm_l,
+                    ov_l,
+                    om_l,
+                    probe_v,
+                    probe_m,
+                    err_hist,
+                ),
+                (costs, pwr),
+            ) = jax.lax.scan(epoch_body, carry0, jnp.arange(n_epochs))
+            return (
+                psi_l[None],
+                probe,
+                eigen_p2 if has_eigen else eigen_p,
+                ew_l[None] if has_eigen else eigen_w,
+                scan_l[None],
+                pv_l[None] if has_pos else pos_v,
+                pm_l[None] if has_pos else pos_m,
+                ov_l[None] if obj_mom_dev else obj_v,
+                om_l[None] if obj_mom_dev else obj_m,
+                probe_v,
+                probe_m,
+                err_hist,
+                costs[None],  # (1, E, nb) -> (ndev, E, nb) sharded
+                pwr,
+            )
+
+        in_specs = (
+            rep,  # epoch0
+            dev,  # data
+            dev,  # scan
+            dev,  # batch_idx
+            dev,  # batch_mask
+            rep,  # orders
+            dev,  # psi
+            rep,  # probe
+            rep,  # eigen_p
+            dev if has_eigen else rep,  # eigen_w
+            rep,  # measured
+            dev,  # row_mask
+            dev,  # pos_mask
+            dev if has_pos else rep,  # pos_v
+            dev if has_pos else rep,  # pos_m
+            dev if obj_mom_dev else rep,  # obj_v
+            dev if obj_mom_dev else rep,  # obj_m
+            rep,  # probe_v
+            rep,  # probe_m
+            rep,  # err_hist
+            rep,  # sls
+            rep,  # slw
+            rep,  # ups
+        )
+        out_specs = (
+            dev,  # psi
+            rep,  # probe
+            rep,  # eigen_p
+            dev if has_eigen else rep,  # eigen_w
+            dev,  # scan
+            dev if has_pos else rep,  # pos_v
+            dev if has_pos else rep,  # pos_m
+            dev if obj_mom_dev else rep,  # obj_v
+            dev if obj_mom_dev else rep,  # obj_m
+            rep,  # probe_v
+            rep,  # probe_m
+            rep,  # err_hist
+            dev,  # costs
+            rep,  # pwr
+        )
+        # check_vma=False: the patch-op scans initialize accumulators with
+        # unvarying zeros, which the varying-manual-axes analysis rejects
+        # even though the computation is correct per device.
+        program = pair_jit(
+            jax.shard_map(
+                run,
+                mesh=mesh,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                check_vma=False,
+            )
+        )
+        self._programs[key] = program
+        return program
+
+
+def _zeros_dev(shape, complex=True):
+    dt = np.complex64 if complex else np.float32
+    return upload(np.zeros(shape, dt))
+
+
+def setup_striped_full(
+    data: np.ndarray,
+    psi: np.ndarray,
+    probe: np.ndarray,
+    scan: np.ndarray,
+    *,
+    mesh: Mesh,
+    epoch_plan: EpochPlan,
+    batch_method: str = "compact",
+    num_batch: int = 1,
+    eigen_probe: typing.Optional[np.ndarray] = None,
+    eigen_weights: typing.Optional[np.ndarray] = None,
+    measured_pixels: typing.Optional[np.ndarray] = None,
+    step_length_start: float = 0.5,
+    step_length_weight: float = 0.5,
+    unmeasured_pixels_scaling: float = 1.0,
+    position_margin: int = 8,
+    pos_momentum: typing.Optional[np.ndarray] = None,
+    prev_costs: typing.Sequence[float] = (),
+    rng: typing.Optional[np.random.Generator] = None,
+    epochs_done: int = 0,
+) -> StripedState:
+    """Shard the full solver state into row stripes.
+
+    ``epoch_plan`` carries the complete solver configuration (solver,
+    constraints, schedule, moments) — the same EpochPlan the replicated
+    fused path uses, except cfg.nz must equal the local window height
+    (set here). Mini-batches are clustered *within* each stripe with
+    ``batch_method`` (the reference's per-stripe clustering,
+    `cluster.py:238-242`).
+    """
+    import tike_tpu.cluster as cluster
+
+    rng = np.random.default_rng(0) if rng is None else rng
+    ndev = mesh.size
+    data = np.asarray(data)
+    psi = np.asarray(psi)
+    scan = np.asarray(scan)
+    d, h, w = psi.shape
+    p = probe.shape[-1]
+    det = data.shape[-1]
+    plan = plan_stripes(
+        scan, (h, w), p, ndev, position_margin=position_margin
+    )
+    num_batch = max(1, int(num_batch))
+
+    # --- per-stripe mini-batch clustering --------------------------------
+    method = cluster.BATCH_METHODS[batch_method]
+    import inspect
+
+    takes_rng = "rng" in inspect.signature(method).parameters
+    order: typing.List[np.ndarray] = []
+    all_idx: typing.List[np.ndarray] = []
+    all_mask: typing.List[np.ndarray] = []
+    L = 1
+    per_stripe = []
+    for k in range(ndev):
+        sel = np.flatnonzero(plan.assignment == k)
+        if len(sel):
+            if takes_rng:
+                local_batches = method(scan[sel], num_batch, rng=rng)
+            else:
+                local_batches = method(scan[sel], num_batch)
+        else:
+            local_batches = [np.zeros(0, np.int64) for _ in range(num_batch)]
+        # Reorder the stripe's positions batch-contiguously (like
+        # by_scan_stripes_contiguous) so batch_idx rows are ranges.
+        contiguous = (
+            sel[np.concatenate(local_batches)] if len(sel) else sel
+        )
+        order.append(contiguous)
+        sizes = [len(b) for b in local_batches]
+        breaks = np.cumsum(sizes)[:-1]
+        local_ranges = np.array_split(np.arange(len(contiguous)), breaks)
+        idx_k, mask_k = cluster.batches_padded(local_ranges)
+        per_stripe.append((idx_k, mask_k))
+        L = max(L, idx_k.shape[1])
+    nb = num_batch
+    cap = max(1, max(len(o) for o in order))
+
+    # --- assemble stripe-major arrays ------------------------------------
+    data_s = np.zeros((ndev, nb, L, det, det), np.float32)
+    scan_s = np.zeros((ndev, cap, 2), np.float32)
+    pos_mask = np.zeros((ndev, cap), np.float32)
+    bidx_s = np.zeros((ndev, nb, L), np.int32)
+    bmask_s = np.zeros((ndev, nb, L), np.float32)
+    row_mask = np.zeros((ndev, plan.local_height), np.float32)
+    C = eigen_weights.shape[-2] if eigen_weights is not None else 0
+    M = eigen_weights.shape[-1] if eigen_weights is not None else 0
+    ew_s = (
+        np.zeros((ndev, cap, C, M), np.float32)
+        if eigen_weights is not None
+        else None
+    )
+    pvm = None
+    if pos_momentum is not None:
+        pvm = np.zeros((ndev, cap, 4), np.float32)
+    for k in range(ndev):
+        sel = order[k]
+        nk = len(sel)
+        idx_k, mask_k = per_stripe[k]
+        lk = idx_k.shape[1]
+        bidx_s[k, :, :lk] = idx_k
+        bmask_s[k, :, :lk] = mask_k
+        if nk:
+            local = scan[sel].copy()
+            local[:, 0] += plan.halo - k * plan.stripe_height
+            scan_s[k, :nk] = local
+            scan_s[k, nk:] = local[0] if nk else (plan.halo + 1, 1)
+            pos_mask[k, :nk] = 1.0
+            # Batch-major data: rows follow the local contiguous order.
+            for b in range(nb):
+                valid = mask_k[b] > 0
+                rows = idx_k[b][valid]
+                data_s[k, b, : len(rows)] = data[sel[rows]]
+            if ew_s is not None:
+                ew_s[k, :nk] = eigen_weights[sel]
+            if pvm is not None:
+                pvm[k, :nk] = pos_momentum[sel]
+        else:
+            scan_s[k, :] = (plan.halo + 1, 1)
+        lo = k * plan.stripe_height
+        hi = min((k + 1) * plan.stripe_height, h)
+        if hi > lo:
+            row_mask[k, plan.halo : plan.halo + (hi - lo)] = 1.0
+
+    # Local psi windows: rows [k*Hs - halo, k*Hs + Hs + halo), padded with
+    # the background value outside the global object.
+    psi_pad = np.pad(
+        psi,
+        (
+            (0, 0),
+            (plan.halo, plan.halo + ndev * plan.stripe_height - h),
+            (0, 0),
+        ),
+        constant_values=1.0,
+    )
+    psi_s = np.stack(
+        [
+            psi_pad[
+                :,
+                k * plan.stripe_height : k * plan.stripe_height
+                + plan.local_height,
+            ]
+            for k in range(ndev)
+        ]
+    ).astype(np.complex64)
+
+    cfg = dataclasses.replace(
+        epoch_plan.cfg,
+        probe_shape=p,
+        detector_shape=det,
+        nz=plan.local_height,
+        n=w,
+        nslices=d,
+    )
+    plan_static = dataclasses.replace(epoch_plan, cfg=cfg)
+    comm = StripeComm(
+        axis=BATCH_AXIS,
+        ndev=ndev,
+        halo=plan.halo,
+        hs=plan.stripe_height,
+    )
+
+    if measured_pixels is None:
+        measured_pixels = np.ones((det, det), bool)
+
+    dev_sharding = NamedSharding(mesh, P(BATCH_AXIS))
+    rep_sharding = NamedSharding(mesh, P())
+
+    def put_dev(x, complex=False):
+        arr = upload(np.asarray(x)) if complex else jnp.asarray(x)
+        return jax.device_put(arr, dev_sharding)
+
+    def put_rep(x, complex=False):
+        arr = upload(np.asarray(x)) if complex else jnp.asarray(x)
+        return jax.device_put(arr, rep_sharding)
+
+    # Moment states (per the EpochPlan moment kinds).
+    psi_local_shape = (ndev, d, plan.local_height, w)
+    obj_v = obj_m = jnp.zeros((), jnp.float32)
+    if plan_static.obj_moment != "none":
+        obj_m = put_dev(
+            np.zeros(psi_local_shape, np.complex64), complex=True
+        )
+        if plan_static.obj_moment == "adam":
+            obj_v = put_dev(np.zeros(psi_local_shape, np.float32))
+        elif plan_static.obj_moment == "checked":
+            obj_v = put_dev(
+                np.zeros((ndev, 3, *psi_local_shape[1:]), np.complex64),
+                complex=True,
+            )
+    probe_v = probe_m = jnp.zeros((), jnp.float32)
+    if plan_static.probe_moment != "none":
+        gshape = (
+            (p, p) if plan_static.solver == "rpie" else (1, 1, p, p)
+        )
+        probe_m = put_rep(np.zeros(gshape, np.complex64), complex=True)
+        if plan_static.probe_moment == "adam":
+            probe_v = put_rep(np.zeros(gshape, np.float32))
+        else:
+            probe_v = put_rep(
+                np.zeros((3, *gshape), np.complex64), complex=True
+            )
+    eh = np.full(3, np.inf, np.float32)
+    tail = list(prev_costs)[-2:]
+    if len(tail) >= 1:
+        eh[2] = tail[-1]
+    if len(tail) >= 2:
+        eh[1] = tail[-2]
+
+    pos_v = pos_m = jnp.zeros((), jnp.float32)
+    if plan_static.recover_positions:
+        if pvm is not None:
+            pos_v = put_dev(pvm[..., 0:2])
+            pos_m = put_dev(pvm[..., 2:4])
+        else:
+            pos_v = put_dev(np.zeros((ndev, cap, 2), np.float32))
+            pos_m = put_dev(np.zeros((ndev, cap, 2), np.float32))
+
+    return StripedState(
+        plan=plan,
+        epoch_plan=plan_static,
+        comm=comm,
+        mesh=mesh,
+        height=h,
+        order=order,
+        psi=put_dev(psi_s, complex=True),
+        data=put_dev(data_s),
+        scan=put_dev(scan_s),
+        batch_idx=put_dev(bidx_s),
+        batch_mask=put_dev(bmask_s),
+        row_mask=put_dev(row_mask),
+        pos_mask=put_dev(pos_mask),
+        eigen_w=(
+            # Weights are real float32, like the replicated path
+            # (options.py: floating).
+            put_dev(ew_s)
+            if ew_s is not None
+            else None
+        ),
+        pos_v=pos_v,
+        pos_m=pos_m,
+        obj_v=obj_v,
+        obj_m=obj_m,
+        probe=put_rep(np.asarray(probe, np.complex64), complex=True),
+        eigen_p=(
+            put_rep(np.asarray(eigen_probe, np.complex64), complex=True)
+            if eigen_probe is not None
+            else jnp.zeros((), jnp.float32)
+        ),
+        probe_v=probe_v,
+        probe_m=probe_m,
+        err_hist=jnp.asarray(eh),
+        measured_pixels=jnp.asarray(np.asarray(measured_pixels)),
+        step_length_start=step_length_start,
+        step_length_weight=step_length_weight,
+        unmeasured_pixels_scaling=unmeasured_pixels_scaling,
+        epochs_done=epochs_done,
+        _rng=rng,
+    )
+
+
+def striped_iterate(state: StripedState, n_epochs: int) -> typing.List[float]:
+    """Advance ``n_epochs`` fused epochs in place; return per-epoch costs."""
+    nb = state._nb()
+    if state.epoch_plan.compact:
+        orders = np.tile(np.arange(nb, dtype=np.int32), (n_epochs, 1))
+    else:
+        orders = np.stack(
+            [
+                state._rng.permutation(nb).astype(np.int32)
+                for _ in range(n_epochs)
+            ]
+        )
+    program = state._program(n_epochs)
+    (
+        state.psi,
+        state.probe,
+        eigen_p,
+        eigen_w,
+        state.scan,
+        state.pos_v,
+        state.pos_m,
+        state.obj_v,
+        state.obj_m,
+        state.probe_v,
+        state.probe_m,
+        state.err_hist,
+        costs,
+        pwr,
+    ) = program(
+        jnp.asarray(state.epochs_done, jnp.int32),
+        state.data,
+        state.scan,
+        state.batch_idx,
+        state.batch_mask,
+        jnp.asarray(orders),
+        state.psi,
+        state.probe,
+        state.eigen_p,
+        state.eigen_w
+        if state.eigen_w is not None
+        else jnp.zeros((), jnp.float32),
+        state.measured_pixels,
+        state.row_mask,
+        state.pos_mask,
+        state.pos_v,
+        state.pos_m,
+        state.obj_v,
+        state.obj_m,
+        state.probe_v,
+        state.probe_m,
+        state.err_hist,
+        jnp.asarray(state.step_length_start, jnp.float32),
+        jnp.asarray(state.step_length_weight, jnp.float32),
+        jnp.asarray(state.unmeasured_pixels_scaling, jnp.float32),
+    )
+    if state.eigen_w is not None:
+        state.eigen_w = eigen_w
+        state.eigen_p = eigen_p
+    state.epochs_done += n_epochs
+    # Weighted global epoch cost (weights = per-batch valid counts).
+    costs_h = to_host(costs)  # (ndev, E, nb)
+    bw = to_host(jnp.sum(state.batch_mask, axis=-1))  # (ndev, nb)
+    num = (costs_h * bw[:, None, :]).sum(axis=(0, 2))
+    den = max(bw.sum(), 1.0)
+    return [float(c) / den for c in num]
+
+
+def striped_epoch(state: StripedState) -> float:
+    """Advance one epoch in place; return the mean cost."""
+    return striped_iterate(state, 1)[0]
+
+
+def striped_result(
+    state: StripedState,
+) -> typing.Tuple[np.ndarray, np.ndarray]:
+    """Stitch the stripes back into (psi (D, H, W), probe)."""
+    from tike_tpu.utils.pairs import download
+
+    return (
+        stitch(state.plan, download(state.psi), state.height),
+        download(state.probe),
+    )
+
+
+def striped_full_result(state: StripedState) -> dict:
+    """All solver state reassembled in the original global position order."""
+    from tike_tpu.utils.pairs import download
+
+    n_total = sum(len(o) for o in state.order)
+    out = {
+        "psi": stitch(state.plan, download(state.psi), state.height),
+        "probe": download(state.probe),
+        "eigen_probe": (
+            download(state.eigen_p) if state.eigen_w is not None else None
+        ),
+    }
+    scan_l = to_host(state.scan)
+    scan_g = np.zeros((n_total, 2), np.float32)
+    for k, sel in enumerate(state.order):
+        nk = len(sel)
+        local = scan_l[k, :nk].copy()
+        local[:, 0] -= state.plan.halo - k * state.plan.stripe_height
+        scan_g[sel] = local
+    out["scan"] = scan_g
+    if state.eigen_w is not None:
+        ew_l = download(state.eigen_w)
+        ew_g = np.zeros((n_total, *ew_l.shape[2:]), ew_l.dtype)
+        for k, sel in enumerate(state.order):
+            ew_g[sel] = ew_l[k, : len(sel)]
+        out["eigen_weights"] = ew_g
+    else:
+        out["eigen_weights"] = None
+    if state.epoch_plan.recover_positions:
+        pv = to_host(state.pos_v)
+        pm = to_host(state.pos_m)
+        mom = np.zeros((n_total, 4), np.float32)
+        for k, sel in enumerate(state.order):
+            mom[sel, 0:2] = pv[k, : len(sel)]
+            mom[sel, 2:4] = pm[k, : len(sel)]
+        out["position_momentum"] = mom
+    return out
+
+
+def _default_plan(
+    solver: str,
+    noise_model: str,
+    alpha: float,
+    num_batch: int,
+    recover_probe: bool = True,
+) -> EpochPlan:
+    """Minimal EpochPlan for the functional striped API."""
+    return EpochPlan(
+        cfg=PtychoConfig(probe_shape=1, detector_shape=1, nz=1, n=1),
+        solver=solver,
+        n_epochs=1,
+        compact=True,
+        noise_model=noise_model,
+        steplength_usemodes="all_modes",
+        recover_psi=True,
+        recover_probe=recover_probe,
+        has_eigen=False,
+        update_start=0,
+        update_period=1,
+        probe_support=0.0,
+        probe_support_radius=0.35,
+        probe_support_degree=2.5,
+        additional_probe_penalty=0.0,
+        median_filter=False,
+        median_filter_px=(1.0, 1.0),
+        force_center=False,
+        force_sparsity=1.0,
+        force_orthogonality=False,
+        positivity=0.0,
+        smoothness=0.0,
+        clip_magnitude=False,
+        rescale_mean_abs=False,
+        rescale_period=10**9,
+        alpha=alpha,
+    )
+
+
 def setup_striped(
     data: np.ndarray,
     psi: np.ndarray,
@@ -410,103 +811,29 @@ def setup_striped(
     alpha: float = 0.05,
     position_margin: int = 8,
     num_batch: int = 1,
+    recover_probe: bool = True,
 ) -> StripedState:
-    """Shard the problem into row stripes and compile the epoch program.
+    """Shard the problem into row stripes (compact accumulation).
 
-    ``num_batch`` chunks each stripe's positions with compact
-    (accumulate-then-update) semantics, bounding the per-chunk forward
-    model to capacity/num_batch patterns.
+    Functional-API entry with the historical signature; the driver path
+    (`Reconstruction(..., object_sharding="striped")`) builds the full
+    EpochPlan from PtychoParameters instead.
     """
     if solver not in ("rpie", "lstsq"):
         raise ValueError(f"striped mode supports rpie/lstsq, not {solver!r}")
-    ndev = mesh.size
-    d, h, w = psi.shape
-    p = probe.shape[-1]
-    plan = plan_stripes(
-        np.asarray(scan), (h, w), p, ndev, position_margin=position_margin
+    plan = _default_plan(
+        solver, noise_model, alpha, num_batch, recover_probe
     )
-    num_batch = max(1, min(int(num_batch), max(plan.capacity, 1)))
-    if plan.capacity % num_batch:
-        # Pad the per-stripe capacity so chunks are equal-sized.
-        plan = dataclasses.replace(
-            plan,
-            capacity=(-(-plan.capacity // num_batch)) * num_batch,
-        )
-    data_s, scan_s, mask_s, psi_s = _shard_inputs(
-        plan, np.asarray(data), np.asarray(scan), np.asarray(psi)
-    )
-    cfg = PtychoConfig(
-        probe_shape=p,
-        detector_shape=data.shape[-1],
-        nz=plan.local_height,
-        n=w,
-    )
-    measured = jnp.ones((cfg.detector_shape, cfg.detector_shape), bool)
-
-    dev = P(BATCH_AXIS)
-    rep = P()
-
-    def epoch(data_b, scan_b, mask_b, psi_b, probe_r):
-        psi_new, probe_new, cost = _striped_epoch_math(
-            cfg,
-            plan.halo,
-            plan.stripe_height,
-            ndev,
-            alpha,
-            solver,
-            noise_model,
-            num_batch,
-            data_b[0],
-            scan_b[0],
-            mask_b[0],
-            psi_b[0],
-            probe_r,
-            measured,
-        )
-        return psi_new[None], probe_new, cost
-
-    # check_vma=False: the patch-op scans initialize their accumulators
-    # with unvarying zeros, which the varying-manual-axes analysis rejects
-    # even though the computation is correct per device.
-    epoch_sm = pair_jit(
-        jax.shard_map(
-            epoch,
-            mesh=mesh,
-            in_specs=(dev, dev, dev, dev, rep),
-            out_specs=(dev, rep, rep),
-            check_vma=False,
-        )
-    )
-
-    sharding = NamedSharding(mesh, dev)
-    return StripedState(
-        plan=plan,
-        cfg=cfg,
-        epoch_fn=epoch_sm,
-        psi=jax.device_put(jnp.asarray(psi_s), sharding),
-        probe=jnp.asarray(probe),
-        data=jax.device_put(jnp.asarray(data_s), sharding),
-        scan=jax.device_put(jnp.asarray(scan_s), sharding),
-        mask=jax.device_put(jnp.asarray(mask_s), sharding),
-        height=h,
-    )
-
-
-def striped_epoch(state: StripedState) -> float:
-    """Advance one epoch in place; return the mean cost."""
-    state.psi, state.probe, cost = state.epoch_fn(
-        state.data, state.scan, state.mask, state.psi, state.probe
-    )
-    return float(to_host(jnp.reshape(cost, (1,)))[0])
-
-
-def striped_result(
-    state: StripedState,
-) -> typing.Tuple[np.ndarray, np.ndarray]:
-    """Stitch the stripes back into (psi (D, H, W), probe)."""
-    return (
-        stitch(state.plan, to_host(state.psi), state.height),
-        to_host(state.probe),
+    return setup_striped_full(
+        data,
+        np.asarray(psi),
+        probe,
+        scan,
+        mesh=mesh,
+        epoch_plan=plan,
+        batch_method="compact",
+        num_batch=num_batch,
+        position_margin=position_margin,
     )
 
 
@@ -526,9 +853,9 @@ def reconstruct_striped(
     """Row-striped reconstruction over a device mesh (functional API).
 
     The scaling path for objects larger than per-chip HBM: psi lives only as
-    per-device stripes; the probe is replicated and all-reduced. Supports
-    the compact rPIE and LSQML gaussian/poisson configurations with
-    multi-mode probes (the reference's multi-GPU default behavior).
+    per-device stripes; the probe is replicated and all-reduced. Runs the
+    full fused epoch math per stripe (multi-mode probes, compact
+    accumulation; the driver path adds OPR/positions/constraints).
 
     Returns (stitched psi (D, H, W), probe, costs per epoch).
     """
@@ -543,6 +870,6 @@ def reconstruct_striped(
         alpha=alpha,
         num_batch=num_batch,
     )
-    costs = [striped_epoch(state) for _ in range(num_iter)]
+    costs = striped_iterate(state, num_iter)
     psi_out, probe_out = striped_result(state)
     return psi_out, probe_out, costs

@@ -382,28 +382,25 @@ class Reconstruction:
         from tike_tpu.parallel import striped
 
         p = self.parameters_host
-        if p.psi.shape[0] != 1:
-            raise ValueError("striped mode is single-slice")
-        if p.eigen_probe is not None or p.eigen_weights is not None:
+        algo = p.algorithm_options
+        if algo.name == "lstsq_grad" and p.psi.shape[0] != 1:
             raise ValueError(
-                "striped mode does not support variable (eigen) probes; "
-                "use the replicated object path"
+                "LSQML is single-slice (like the reference); use rpie "
+                "for multislice objects"
             )
-        if p.position_options is not None:
+        if algo.rescale_method != "mean_of_abs_object":
             raise ValueError(
-                "striped mode does not support position correction; "
-                "use the replicated object path"
+                "striped mode implements rescale_method="
+                "'mean_of_abs_object' only (like the fused path)"
             )
-        solver = (
-            "lstsq" if p.algorithm_options.name == "lstsq_grad" else "rpie"
-        )
-        if p.probe_options is not None and (
-            p.probe_options.update_start != 0
-            or p.probe_options.update_period != 1
+        if (
+            p.position_options is not None
+            and p.position_options.use_position_regularization
         ):
-            logger.warning(
-                "striped mode updates the probe every epoch; the "
-                "update_start/update_period schedule is ignored"
+            raise ValueError(
+                "striped mode does not implement the host-side RANSAC "
+                "affine position regularization; disable "
+                "use_position_regularization or use the replicated path"
             )
         margin = 8
         probe = np.asarray(p.probe)
@@ -420,19 +417,51 @@ class Reconstruction:
             )
             logger.info("Probe rescaled by %f (striped mode)", scale)
             probe = probe * scale
-        self._striped = striped.setup_striped(
+        ew = p.exitwave_options
+        popt = p.position_options
+        plan = self._make_plan(p, num_iter=1)
+        self._striped = striped.setup_striped_full(
             np.asarray(self.data_host),
             np.asarray(p.psi),
             probe,
             np.asarray(p.scan),
             mesh=self.mesh,
-            solver=solver,
-            noise_model=p.exitwave_options.noise_model
-            if p.exitwave_options is not None
-            else "gaussian",
-            alpha=float(getattr(p.algorithm_options, "alpha", 0.05)),
+            epoch_plan=plan,
+            batch_method=algo.batch_method,
+            num_batch=int(algo.num_batch),
+            eigen_probe=(
+                np.asarray(p.eigen_probe)
+                if p.eigen_probe is not None
+                else None
+            ),
+            eigen_weights=(
+                np.asarray(p.eigen_weights)
+                if p.eigen_weights is not None
+                else None
+            ),
+            measured_pixels=(
+                np.asarray(ew.measured_pixels) if ew is not None else None
+            ),
+            step_length_start=(
+                float(ew.step_length_start) if ew is not None else 0.5
+            ),
+            step_length_weight=(
+                float(ew.step_length_weight) if ew is not None else 0.5
+            ),
+            unmeasured_pixels_scaling=(
+                float(ew.unmeasured_pixels_scaling)
+                if ew is not None
+                else 1.0
+            ),
             position_margin=margin,
-            num_batch=int(p.algorithm_options.num_batch),
+            pos_momentum=(
+                np.asarray(popt._momentum)
+                if popt is not None and popt._momentum is not None
+                else None
+            ),
+            prev_costs=[float(c[0]) for c in algo.costs],
+            rng=self._rng,
+            epochs_done=len(algo.times),
         )
         self.parameters = copy.deepcopy(p)
         self.order = np.arange(p.scan.shape[0])
@@ -539,20 +568,21 @@ class Reconstruction:
             and p.algorithm_options.time_limit == np.inf
         )
 
-    def _iterate_fused(self, num_iter: int) -> None:
-        """Run num_iter epochs as a single XLA program (see solvers.fused)."""
-        from .solvers.fused import EpochPlan, iterate_program
+    def _make_plan(self, p, num_iter: int):
+        """Build the fused EpochPlan from the parameter objects.
 
-        p = self.parameters
+        Shared by the replicated fused path and the striped
+        (object-decomposed) path — the two run the same epoch math
+        (`solvers.fused._epoch_math`).
+        """
+        from .solvers.fused import EpochPlan
+
         popts = p.probe_options
         oopts = p.object_options
         ew = p.exitwave_options
         algo = p.algorithm_options
-        total_epochs0 = len(algo.times)
         compact = algo.batch_method == "compact"
-        batch_idx, batch_mask = self.batches
-        nb = batch_idx.shape[0]
-        plan = EpochPlan(
+        return EpochPlan(
             cfg=self.operator,
             solver=(
                 "lstsq"
@@ -657,6 +687,21 @@ class Reconstruction:
             probe_vdecay=(popts.vdecay if popts is not None else 0.999),
             probe_mdecay=(popts.mdecay if popts is not None else 0.9),
         )
+
+    def _iterate_fused(self, num_iter: int) -> None:
+        """Run num_iter epochs as a single XLA program (see solvers.fused)."""
+        from .solvers.fused import iterate_program
+
+        p = self.parameters
+        popts = p.probe_options
+        oopts = p.object_options
+        ew = p.exitwave_options
+        algo = p.algorithm_options
+        total_epochs0 = len(algo.times)
+        compact = algo.batch_method == "compact"
+        batch_idx, batch_mask = self.batches
+        nb = batch_idx.shape[0]
+        plan = self._make_plan(p, num_iter)
         if compact:
             orders = np.tile(np.arange(nb, dtype=np.int32), (num_iter, 1))
         else:
@@ -821,16 +866,24 @@ class Reconstruction:
         if self.object_sharding == "striped":
             from tike_tpu.parallel import striped
 
-            start = time.perf_counter()
-            for _ in range(num_iter):
+            # Multi-epoch fused chunks (like the replicated fused path);
+            # convergence_window / time_limit are tested between chunks.
+            window = algo.convergence_window
+            chunk = num_iter if window < 2 else max(1, window // 2)
+            done = 0
+            while done < num_iter:
                 if np.sum(algo.times) > algo.time_limit:
                     logger.info("Maximum reconstruction time exceeded.")
                     break
-                cost = striped.striped_epoch(self._striped)
-                algo.costs.append([cost])
-                algo.times.append(time.perf_counter() - start)
+                step = min(chunk, num_iter - done)
                 start = time.perf_counter()
-                logger.info("striped cost is %+1.3e", cost)
+                costs = striped.striped_iterate(self._striped, step)
+                elapsed = time.perf_counter() - start
+                for cost in costs:
+                    algo.costs.append([cost])
+                    algo.times.append(elapsed / step)
+                logger.info("striped cost is %+1.3e", costs[-1])
+                done += step
                 if is_converged(algo):
                     break
             return
@@ -903,10 +956,18 @@ class Reconstruction:
         if self.object_sharding == "striped":
             from tike_tpu.parallel import striped
 
-            psi, probe = striped.striped_result(self._striped)
+            res = striped.striped_full_result(self._striped)
             result = self.parameters
-            result.psi = psi
-            result.probe = probe
+            result.psi = res["psi"]
+            result.probe = res["probe"]
+            result.scan = res["scan"]
+            if result.eigen_probe is not None:
+                result.eigen_probe = res["eigen_probe"]
+            if result.eigen_weights is not None:
+                result.eigen_weights = res["eigen_weights"]
+            popt = result.position_options
+            if popt is not None and "position_momentum" in res:
+                popt._momentum = res["position_momentum"]
             return result
         reorder = np.argsort(self.order)
         return PtychoParameters.join(

@@ -7,12 +7,18 @@ is folded into a single program scanning over epochs. Cost and probe-power
 histories accumulate on-device and are downloaded once at the end.
 
 Supported configuration (the driver falls back to the per-epoch path
-otherwise): rpie or lstsq (LSQML) solver, no position correction, no
-adaptive moments, device-resident batch-major data, 'mean_of_abs_object'
-or no rescaling.
-Epoch-dependent behavior (probe update gating, periodic rescale) uses traced
-predicates with `jnp.where` blends, matching the reference's host control
-flow (`ptycho/ptycho.py:431-564`) exactly for these paths.
+otherwise): rpie or lstsq (LSQML) solver, position correction (lstsq),
+adaptive moments (adam / classical / momentum-checked), device-resident
+batch-major data, 'mean_of_abs_object' or no rescaling.
+Epoch-dependent behavior (probe update gating, periodic rescale, the
+momentum-checked cost-trend decision) uses traced predicates with
+`jnp.where` blends, matching the reference's host control flow
+(`ptycho/ptycho.py:431-564`) exactly for these paths.
+
+The epoch body (`_epoch_math`) is shared with the striped
+object-decomposed mode (`tike_tpu.parallel.striped`), which passes a
+`StripeComm` so the same math runs per stripe inside `shard_map` with the
+cross-stripe collectives inserted.
 """
 
 from __future__ import annotations
@@ -30,7 +36,12 @@ from .. import probe as probe_module
 from .. import object as object_module
 import tike_tpu.opt
 from ._preconditioner import _probe_precond_math, _psi_precond_math
-from .lstsq import _lstsq_batch_math, _precondition_object_update, _trim_mean
+from .lstsq import (
+    _lstsq_batch_math,
+    _masked_trim_mean,
+    _precondition_object_update,
+    _trim_mean,
+)
 from .rpie import _batch_gradients_math
 
 
@@ -125,6 +136,595 @@ def _probe_constraints_math(plan: EpochPlan, probe):
     return probe, pwr
 
 
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class StripeComm:
+    """Static SPMD configuration for the striped (object-decomposed) mode.
+
+    When passed to :func:`_epoch_math`, probe/eigen reconciliation become
+    weighted psum-means over ``axis``, the probe preconditioner is psummed,
+    the momentum-checked decision uses the global epoch cost, and the psi
+    halo rows are cross-faded with the stripe neighbors (the reference's
+    per-epoch `Allreduce_mean` + `swap_edges`, `ptycho/ptycho.py:474-502`).
+    """
+
+    axis: str
+    ndev: int
+    halo: int
+    hs: int  # stripe interior height
+
+
+def _epoch_math(
+    plan: EpochPlan,
+    comm,              # None (single device) or StripeComm (inside shard_map)
+    epoch0,
+    data,
+    batch_idx,
+    batch_mask,
+    orders,
+    measured_pixels,
+    step_length_start,
+    step_length_weight,
+    unmeasured_pixels_scaling,
+    row_mask,          # (nz,) f32 interior-row mask for global stats, or None
+    pos_mask,          # (N,) f32 valid-position mask, or None
+    carry,
+    e,
+):
+    """One full solver epoch: the shared math of the fused replicated path
+    (:func:`iterate_program`, comm=None) and the striped object-decomposed
+    path (`tike_tpu.parallel.striped`, comm=StripeComm inside shard_map).
+    """
+    cfg = plan.cfg
+    nb = batch_idx.shape[0]
+    alpha = jnp.asarray(plan.alpha, jnp.float32)
+
+    (
+        psi,
+        probe,
+        eigen_p,
+        eigen_w,
+        scan,
+        pos_v,
+        pos_m,
+        obj_v,
+        obj_m,
+        probe_v,
+        probe_m,
+        err_hist,
+    ) = carry
+
+    total_e = epoch0 + e
+    recover_now = jnp.logical_and(
+        total_e >= plan.update_start,
+        (total_e % plan.update_period) == 0,
+    )
+    if plan.recover_probe:
+        constrained, pwr = _probe_constraints_math(plan, probe)
+        probe = jnp.where(recover_now, constrained, probe)
+    else:
+        pwr = jnp.sum(
+            (probe * jnp.conj(probe)).real, axis=(-2, -1)
+        ).reshape(-1)
+
+    # Preconditioners over all batches.
+    def pre_body(carry2, inp):
+        psi_pre, probe_pre = carry2
+        idx, bmask = inp
+        scan_b = jnp.take(scan, idx, axis=0)
+        if plan.recover_psi:
+            psi_pre = psi_pre + _psi_precond_math(
+                cfg, psi, scan_b, probe, bmask
+            )
+        if plan.recover_probe:
+            probe_pre = probe_pre + _probe_precond_math(
+                cfg, psi, scan_b, bmask
+            )
+        return (psi_pre, probe_pre), None
+
+    psi_pre0 = jnp.zeros((cfg.nslices, cfg.nz, cfg.n), jnp.complex64)
+    probe_pre0 = jnp.zeros(
+        (cfg.nslices, cfg.probe_shape, cfg.probe_shape), jnp.complex64
+    )
+    (psi_pre, probe_pre), _ = jax.lax.scan(
+        pre_body, (psi_pre0, probe_pre0), (batch_idx, batch_mask)
+    )
+    if comm is not None and plan.recover_probe:
+        # The probe preconditioner sums |patches|^2 over every stripe's
+        # positions (the reference pools it across GPUs,
+        # `_preconditioner.py:170-209`).
+        probe_pre = jax.lax.psum(probe_pre, comm.axis)
+
+    # Mini-batch sweep.
+    order = orders[e]
+    gate = recover_now.astype(jnp.float32)
+
+    def batch_step(carry2, i):
+        (
+            psi_c,
+            probe_c,
+            eigen_p2,
+            eigen_w2,
+            psi_acc,
+            probe_acc,
+            pos_num,
+            pos_den,
+            obj_v2,
+            obj_m2,
+            probe_v2,
+            probe_m2,
+            pcomb,
+            pbeta_sum,
+        ) = carry2
+        n = order[i]
+        if plan.solver == "lstsq":
+            out = _lstsq_batch_math(
+                cfg,
+                data[n],
+                scan,
+                batch_idx[n],
+                batch_mask[n],
+                psi_c,
+                probe_c,
+                eigen_p2 if plan.has_eigen else None,
+                eigen_w2 if plan.has_eigen else None,
+                measured_pixels,
+                psi_pre,
+                step_length_start,
+                step_length_weight,
+                unmeasured_pixels_scaling,
+                num_batch=float(nb),
+                noise_model=plan.noise_model,
+                steplength_usemodes=plan.steplength_usemodes,
+                recover_psi=plan.recover_psi,
+                recover_probe=plan.recover_probe,
+                recover_positions=plan.recover_positions,
+            )
+            costs = out["costs"]
+            if plan.recover_positions:
+                pos_num = pos_num.at[batch_idx[n]].add(out["pos_num"])
+                pos_den = pos_den.at[batch_idx[n]].add(out["pos_den"])
+            beta_obj = jnp.asarray(0.0, jnp.float32)
+            if plan.recover_psi:
+                beta = out["beta_object"]
+                if "beta_object_solo" in out:
+                    # On epochs where probe recovery is gated off, the
+                    # per-epoch path solves the uncoupled object step;
+                    # select the matching beta.
+                    beta = jnp.where(
+                        recover_now, beta, out["beta_object_solo"]
+                    )
+                beta_obj = beta.astype(jnp.float32)
+                if plan.compact:
+                    psi_acc = psi_acc + out["object_upd_sum"]
+                else:
+                    dpsi = beta * out["object_update_precond"]
+                    if plan.obj_moment == "momentum":
+                        # Per-batch classical momentum
+                        # (`lstsq.py:477-492` host path).
+                        obj_m2 = (
+                            plan.obj_mdecay * obj_m2
+                            + (1 - plan.obj_mdecay) * dpsi
+                        )
+                        dpsi = obj_m2
+                    psi_c = psi_c + dpsi
+            if plan.recover_probe:
+                dprobe = out["beta_probe"] * out["m_probe_update"]
+                probe_c = probe_c + gate * dprobe
+                if plan.probe_moment == "checked":
+                    pcomb = pcomb + dprobe / nb
+                    pbeta_sum = pbeta_sum + jnp.mean(out["beta_probe"])
+                if plan.has_eigen:
+                    # Gate the OPR updates with the probe-recovery
+                    # predicate (host control flow in the reference).
+                    if "eigen_probe" in out and out["eigen_probe"] is not None:
+                        eigen_p2 = (
+                            gate * out["eigen_probe"]
+                            + (1 - gate) * eigen_p2
+                        )
+                    old_w = jnp.take(eigen_w2, batch_idx[n], axis=0)
+                    new_w = gate * out["w_b"] + (1 - gate) * old_w
+                    eigen_w2 = eigen_w2.at[batch_idx[n]].set(new_w)
+        else:
+            costs, psi_num, probe_num, eigen_delta = (
+                _batch_gradients_math(
+                    cfg,
+                    data[n],
+                    scan,
+                    batch_idx[n],
+                    batch_mask[n],
+                    psi_c,
+                    probe_c,
+                    eigen_p2 if plan.has_eigen else None,
+                    eigen_w2 if plan.has_eigen else None,
+                    measured_pixels,
+                    step_length_start,
+                    step_length_weight,
+                    unmeasured_pixels_scaling,
+                    noise_model=plan.noise_model,
+                    steplength_usemodes=plan.steplength_usemodes,
+                    recover_probe=plan.recover_probe,
+                )
+            )
+            beta_obj = jnp.asarray(0.0, jnp.float32)
+            if plan.has_eigen and eigen_delta is not None:
+                eigen_w2 = eigen_w2.at[batch_idx[n], 0, 0].add(
+                    eigen_delta * gate
+                )
+            if plan.compact:
+                psi_acc = psi_acc + psi_num
+                probe_acc = probe_acc + probe_num
+            else:
+                if plan.recover_psi:
+                    deno = (1 - alpha) * psi_pre + alpha * jnp.abs(
+                        psi_pre
+                    ).max(axis=(-2, -1), keepdims=True)
+                    psi_c = psi_c + psi_num / deno
+                    if plan.obj_moment == "adam":
+                        # Per-batch adam on the numerator
+                        # (`rpie.py:386-414` host path).
+                        d2, obj_v2, obj_m2 = tike_tpu.opt.adam(
+                            psi_num,
+                            obj_v2,
+                            obj_m2,
+                            vdecay=plan.obj_vdecay,
+                            mdecay=plan.obj_mdecay,
+                        )
+                        psi_c = psi_c + d2 / deno
+                if plan.recover_probe:
+                    ppre = jnp.abs(probe_pre[0])
+                    pdeno = (1 - alpha) * ppre + alpha * ppre.max()
+                    probe_c = probe_c + gate * probe_num[0] / pdeno
+                    if plan.probe_moment == "adam":
+                        d2, pv2, pm2 = tike_tpu.opt.adam(
+                            probe_num[0][0, 0, 0],
+                            probe_v2,
+                            probe_m2,
+                            vdecay=plan.probe_vdecay,
+                            mdecay=plan.probe_mdecay,
+                        )
+                        # Moment state only advances on probe-recovery
+                        # epochs (host gating in `rpie._update`).
+                        probe_v2 = jnp.where(recover_now, pv2, probe_v2)
+                        probe_m2 = jnp.where(recover_now, pm2, probe_m2)
+                        probe_c = probe_c.at[0, 0, 0].add(
+                            gate * d2 / pdeno
+                        )
+        cost = jnp.sum(costs * batch_mask[n]) / jnp.maximum(
+            jnp.sum(batch_mask[n]), 1
+        )
+        return (
+            (
+                psi_c,
+                probe_c,
+                eigen_p2,
+                eigen_w2,
+                psi_acc,
+                probe_acc,
+                pos_num,
+                pos_den,
+                obj_v2,
+                obj_m2,
+                probe_v2,
+                probe_m2,
+                pcomb,
+                pbeta_sum,
+            ),
+            (n, cost, beta_obj),
+        )
+
+    psi_acc0 = jnp.zeros_like(psi)
+    probe_acc0 = jnp.zeros((psi.shape[0], *probe.shape), probe.dtype)
+    pos_acc0 = jnp.zeros_like(scan)
+    # The probe_combined_update accumulator resets every epoch
+    # (`lstsq.py:411-418` host path); the moment states persist.
+    pcomb0 = (
+        jnp.zeros_like(probe)
+        if plan.solver == "lstsq" and plan.probe_moment == "checked"
+        else jnp.zeros((), probe.real.dtype)
+    )
+    (
+        (
+            psi,
+            probe,
+            eigen_p,
+            eigen_w,
+            psi_acc,
+            probe_acc,
+            pos_num,
+            pos_den,
+            obj_v,
+            obj_m,
+            probe_v,
+            probe_m,
+            pcomb,
+            pbeta_sum,
+        ),
+        (ns, costs, beta_objs),
+    ) = jax.lax.scan(
+        batch_step,
+        (
+            psi,
+            probe,
+            eigen_p,
+            eigen_w,
+            psi_acc0,
+            probe_acc0,
+            pos_acc0,
+            pos_acc0,
+            obj_v,
+            obj_m,
+            probe_v,
+            probe_m,
+            pcomb0,
+            jnp.zeros((), jnp.float32),
+        ),
+        jnp.arange(nb),
+    )
+    # Epoch cost and its on-device history tail: the host path appends
+    # the batch-mean cost to algorithm_options.costs before the
+    # momentum-checked decision consults the last three entries.
+    costs_by_batch = jnp.zeros(nb, costs.dtype).at[ns].set(costs)
+    if comm is None:
+        epoch_cost = jnp.mean(costs_by_batch)
+    else:
+        # Global weighted epoch cost so the momentum-checked decision is
+        # identical on every stripe (the replicated-path semantics).
+        bw = jnp.sum(batch_mask, axis=1)
+        num = jax.lax.psum(jnp.sum(costs_by_batch * bw), comm.axis)
+        den = jax.lax.psum(jnp.sum(bw), comm.axis)
+        epoch_cost = num / jnp.maximum(den, 1.0)
+    err_hist = jnp.roll(err_hist, shift=-1).at[-1].set(epoch_cost)
+    n_done = total_e + 1
+    # Position update once per epoch (`lstsq.py:764-806` semantics),
+    # gated on the traced epoch predicate like the host control flow.
+    if plan.recover_positions:
+        pos_gate = total_e >= plan.pos_update_start
+        palpha = 0.05
+        step = pos_num / (
+            (1 - palpha) * pos_den
+            + palpha * jnp.maximum(pos_den.max(), 1e-6)
+        )
+        if plan.pos_update_magnitude_limit > 0:
+            step = jnp.clip(
+                step,
+                -plan.pos_update_magnitude_limit,
+                plan.pos_update_magnitude_limit,
+            )
+        if comm is None:
+            step = step - _trim_mean(step, 0.05, axis=0)
+        else:
+            # Striped mode pads each stripe's positions to a common
+            # capacity; the de-trend must ignore the padded slots (the
+            # reference's per-GPU stripes are ragged, so its plain
+            # trim_mean sees only real positions).
+            step = step - _masked_trim_mean(step, pos_mask, 0.05)
+            step = step * pos_mask[:, None]
+        if plan.pos_use_adaptive_moment:
+            step2, v2, m2 = tike_tpu.opt.adam(
+                step,
+                pos_v,
+                pos_m,
+                vdecay=plan.pos_vdecay,
+                mdecay=plan.pos_mdecay,
+            )
+            pos_v = jnp.where(pos_gate, v2, pos_v)
+            pos_m = jnp.where(pos_gate, m2, pos_m)
+            step = step2
+        scan = jnp.where(pos_gate, scan - step, scan)
+    if plan.compact:
+        if plan.solver == "lstsq":
+            if plan.recover_psi:
+                bobj = jnp.mean(beta_objs)
+                dpsi = bobj * _precondition_object_update(
+                    psi_acc, psi_pre
+                )
+                psi = psi + dpsi
+                if plan.obj_moment == "checked":
+                    # Epoch-end momentum_checked on the preconditioned
+                    # step, weighted by the preconditioner magnitude
+                    # (`lstsq.py:519-550` host path).
+                    d2, obj_v, obj_m = (
+                        tike_tpu.opt.momentum_checked_traced(
+                            dpsi,
+                            obj_v,
+                            obj_m,
+                            plan.obj_mdecay,
+                            err_hist,
+                            n_done,
+                            beta=bobj,
+                        )
+                    )
+                    W = jnp.abs(psi_pre)
+                    psi = psi + (W / (0.1 * W.max() + W)) * d2
+        else:
+            if plan.recover_psi:
+                deno = (1 - alpha) * psi_pre + alpha * jnp.abs(
+                    psi_pre
+                ).max(axis=(-2, -1), keepdims=True)
+                psi = psi + psi_acc / deno
+                if plan.obj_moment == "checked":
+                    # (`rpie.py:386-414` host path with errors.)
+                    d2, obj_v, obj_m = (
+                        tike_tpu.opt.momentum_checked_traced(
+                            psi_acc,
+                            obj_v,
+                            obj_m,
+                            plan.obj_mdecay,
+                            err_hist,
+                            n_done,
+                        )
+                    )
+                    psi = psi + d2 / deno
+            if plan.recover_probe:
+                ppre = jnp.abs(probe_pre[0])
+                pdeno = (1 - alpha) * ppre + alpha * ppre.max()
+                probe = probe + gate * probe_acc[0] / pdeno
+                if plan.probe_moment == "checked":
+                    d2, pv2, pm2 = (
+                        tike_tpu.opt.momentum_checked_traced(
+                            probe_acc[0][0, 0, 0],
+                            probe_v,
+                            probe_m,
+                            plan.probe_mdecay,
+                            err_hist,
+                            n_done,
+                        )
+                    )
+                    probe_v = jnp.where(recover_now, pv2, probe_v)
+                    probe_m = jnp.where(recover_now, pm2, probe_m)
+                    probe = probe.at[0, 0, 0].add(gate * d2 / pdeno)
+
+    if (
+        plan.solver == "lstsq"
+        and plan.recover_probe
+        and plan.probe_moment == "checked"
+    ):
+        # Epoch-end momentum_checked on the mean probe update, main
+        # mode only (`lstsq.py:552-584` host path; runs for compact and
+        # non-compact alike).
+        bprb = pbeta_sum / nb
+        d2, pv2, pm2 = tike_tpu.opt.momentum_checked_traced(
+            pcomb[..., 0, :, :],
+            probe_v,
+            probe_m,
+            plan.probe_mdecay,
+            err_hist,
+            n_done,
+            beta=bprb,
+        )
+        probe_v = jnp.where(recover_now, pv2, probe_v)
+        probe_m = jnp.where(recover_now, pm2, probe_m)
+        probe = probe.at[..., 0, :, :].add(gate * d2)
+
+    if comm is not None:
+        # End-of-epoch stripe reconciliation, in the reference's order
+        # (`ptycho/ptycho.py:474-502`): weighted probe mean, weighted
+        # eigen-probe mean, then the psi halo cross-fade. Empty stripes
+        # carry zero weight.
+        w = jnp.sum(pos_mask)
+        den = jnp.maximum(jax.lax.psum(w, comm.axis), 1.0)
+
+        def pmean(x):
+            return jax.lax.psum(x * w, comm.axis) / den
+
+        if plan.recover_probe:
+            probe = pmean(probe)
+            if plan.probe_moment != "none":
+                # Moment states follow the probe so replicas stay in sync.
+                probe_v = pmean(probe_v)
+                probe_m = pmean(probe_m)
+        if plan.has_eigen:
+            eigen_p = pmean(eigen_p)
+
+        # Halo cross-fade: both neighbors compute the identical linear
+        # blend of the 2*halo seam rows, so the duplicated rows agree
+        # (the reference's swap_edges ramps, `pool.py:415-476`).
+        w2 = 2 * comm.halo
+        i = jax.lax.axis_index(comm.axis)
+        seam_bot = jax.lax.dynamic_slice_in_dim(psi, comm.hs, w2, axis=-2)
+        seam_top = jax.lax.dynamic_slice_in_dim(psi, 0, w2, axis=-2)
+        perm_up = [(j, (j - 1) % comm.ndev) for j in range(comm.ndev)]
+        perm_dn = [(j, (j + 1) % comm.ndev) for j in range(comm.ndev)]
+        from_below = jax.lax.ppermute(seam_top, comm.axis, perm_up)
+        from_above = jax.lax.ppermute(seam_bot, comm.axis, perm_dn)
+        ramp = jnp.linspace(0.0, 1.0, w2 + 2, dtype=jnp.float32)[1:-1][
+            None, :, None
+        ]
+        blended_bot = (1 - ramp) * seam_bot + ramp * from_below
+        blended_top = (1 - ramp) * from_above + ramp * seam_top
+        new_bot = jnp.where(i < comm.ndev - 1, blended_bot, seam_bot)
+        new_top = jnp.where(i > 0, blended_top, seam_top)
+        psi = jax.lax.dynamic_update_slice_in_dim(
+            psi, new_bot, comm.hs, axis=-2
+        )
+        psi = jax.lax.dynamic_update_slice_in_dim(psi, new_top, 0, axis=-2)
+
+    if plan.has_eigen and plan.solver == "rpie":
+        # Epsilon keeps all-zero weight columns at zero (see
+        # rpie._normalize_eigen_weights).
+        if comm is None:
+            norm = tike_tpu.linalg.mnorm(eigen_w, axis=-3, keepdims=True)
+        else:
+            # Per-stripe normalization over REAL positions only (padded
+            # capacity slots would deflate the RMS).
+            msk = pos_mask[:, None, None]
+            norm = jnp.sqrt(
+                jnp.sum((eigen_w * eigen_w.conj()).real * msk, axis=-3, keepdims=True)
+                / jnp.maximum(jnp.sum(pos_mask), 1.0)
+            )
+        eigen_w = eigen_w / (norm + 1e-32)
+
+    # Object constraints (`ptycho.py:812-853`).
+    if plan.recover_psi:
+        if plan.positivity:
+            psi = object_module.positivity_constraint(
+                psi, r=plan.positivity
+            )
+        if plan.smoothness:
+            psi = object_module.smoothness_constraint(
+                psi, a=plan.smoothness
+            )
+        if plan.clip_magnitude:
+            psi = object_module.clip_magnitude(psi, a_max=1.0)
+        if plan.rescale_mean_abs:
+            do_rescale = (
+                (epoch0 + e + 1) % plan.rescale_period
+            ) == 0
+            if comm is None:
+                W = psi_pre.real
+                W = W / tike_tpu.linalg.mnorm(W)
+                object_norm = 2 * jnp.sqrt(
+                    jnp.mean(jnp.square(jnp.abs(psi)) * W)
+                )
+            else:
+                # Global statistics over the interior rows only (halo and
+                # padding rows are duplicates/background), so every stripe
+                # applies the same scale and the probe stays replicated.
+                rm = row_mask[None, :, None]
+                cnt = jnp.maximum(
+                    jax.lax.psum(
+                        jnp.sum(rm)
+                        * psi_pre.shape[0]
+                        * psi_pre.shape[-1],
+                        comm.axis,
+                    ),
+                    1.0,
+                )
+                W = psi_pre.real * rm
+                wrms = jnp.sqrt(
+                    jax.lax.psum(jnp.sum(W * W), comm.axis) / cnt
+                )
+                Wn = W / jnp.maximum(wrms, 1e-32)
+                object_norm = 2 * jnp.sqrt(
+                    jax.lax.psum(
+                        jnp.sum(jnp.square(jnp.abs(psi)) * Wn), comm.axis
+                    )
+                    / cnt
+                )
+            scale = jnp.where(do_rescale, object_norm, 1.0)
+            psi = psi / scale
+            probe = probe * scale
+
+    return (
+        (
+            psi,
+            probe,
+            eigen_p,
+            eigen_w,
+            scan,
+            pos_v,
+            pos_m,
+            obj_v,
+            obj_m,
+            probe_v,
+            probe_m,
+            err_hist,
+        ),
+        (costs_by_batch, pwr),
+    )
+
+
 @pair_jit(static_argnames=("plan",))
 def iterate_program(
     plan: EpochPlan,
@@ -155,457 +755,23 @@ def iterate_program(
     Returns (psi, probe, eigen_probe, eigen_weights, scan, pos_v, pos_m,
     obj_v, obj_m, probe_v, probe_m, costs (E, nb), powers (E, modes)).
     """
-    cfg = plan.cfg
-    nb = batch_idx.shape[0]
-    alpha = jnp.asarray(plan.alpha, jnp.float32)
-
     def epoch_body(carry, e):
-        (
-            psi,
-            probe,
-            eigen_p,
-            eigen_w,
-            scan,
-            pos_v,
-            pos_m,
-            obj_v,
-            obj_m,
-            probe_v,
-            probe_m,
-            err_hist,
-        ) = carry
-
-        total_e = epoch0 + e
-        recover_now = jnp.logical_and(
-            total_e >= plan.update_start,
-            (total_e % plan.update_period) == 0,
-        )
-        if plan.recover_probe:
-            constrained, pwr = _probe_constraints_math(plan, probe)
-            probe = jnp.where(recover_now, constrained, probe)
-        else:
-            pwr = jnp.sum(
-                (probe * jnp.conj(probe)).real, axis=(-2, -1)
-            ).reshape(-1)
-
-        # Preconditioners over all batches.
-        def pre_body(carry2, inp):
-            psi_pre, probe_pre = carry2
-            idx, bmask = inp
-            scan_b = jnp.take(scan, idx, axis=0)
-            if plan.recover_psi:
-                psi_pre = psi_pre + _psi_precond_math(
-                    cfg, psi, scan_b, probe, bmask
-                )
-            if plan.recover_probe:
-                probe_pre = probe_pre + _probe_precond_math(
-                    cfg, psi, scan_b, bmask
-                )
-            return (psi_pre, probe_pre), None
-
-        psi_pre0 = jnp.zeros((cfg.nslices, cfg.nz, cfg.n), jnp.complex64)
-        probe_pre0 = jnp.zeros(
-            (cfg.nslices, cfg.probe_shape, cfg.probe_shape), jnp.complex64
-        )
-        (psi_pre, probe_pre), _ = jax.lax.scan(
-            pre_body, (psi_pre0, probe_pre0), (batch_idx, batch_mask)
-        )
-
-        # Mini-batch sweep.
-        order = orders[e]
-        gate = recover_now.astype(jnp.float32)
-
-        def batch_step(carry2, i):
-            (
-                psi_c,
-                probe_c,
-                eigen_p2,
-                eigen_w2,
-                psi_acc,
-                probe_acc,
-                pos_num,
-                pos_den,
-                obj_v2,
-                obj_m2,
-                probe_v2,
-                probe_m2,
-                pcomb,
-                pbeta_sum,
-            ) = carry2
-            n = order[i]
-            if plan.solver == "lstsq":
-                out = _lstsq_batch_math(
-                    cfg,
-                    data[n],
-                    scan,
-                    batch_idx[n],
-                    batch_mask[n],
-                    psi_c,
-                    probe_c,
-                    eigen_p2 if plan.has_eigen else None,
-                    eigen_w2 if plan.has_eigen else None,
-                    measured_pixels,
-                    psi_pre,
-                    step_length_start,
-                    step_length_weight,
-                    unmeasured_pixels_scaling,
-                    num_batch=float(nb),
-                    noise_model=plan.noise_model,
-                    steplength_usemodes=plan.steplength_usemodes,
-                    recover_psi=plan.recover_psi,
-                    recover_probe=plan.recover_probe,
-                    recover_positions=plan.recover_positions,
-                )
-                costs = out["costs"]
-                if plan.recover_positions:
-                    pos_num = pos_num.at[batch_idx[n]].add(out["pos_num"])
-                    pos_den = pos_den.at[batch_idx[n]].add(out["pos_den"])
-                beta_obj = jnp.asarray(0.0, jnp.float32)
-                if plan.recover_psi:
-                    beta = out["beta_object"]
-                    if "beta_object_solo" in out:
-                        # On epochs where probe recovery is gated off, the
-                        # per-epoch path solves the uncoupled object step;
-                        # select the matching beta.
-                        beta = jnp.where(
-                            recover_now, beta, out["beta_object_solo"]
-                        )
-                    beta_obj = beta.astype(jnp.float32)
-                    if plan.compact:
-                        psi_acc = psi_acc + out["object_upd_sum"]
-                    else:
-                        dpsi = beta * out["object_update_precond"]
-                        if plan.obj_moment == "momentum":
-                            # Per-batch classical momentum
-                            # (`lstsq.py:477-492` host path).
-                            obj_m2 = (
-                                plan.obj_mdecay * obj_m2
-                                + (1 - plan.obj_mdecay) * dpsi
-                            )
-                            dpsi = obj_m2
-                        psi_c = psi_c + dpsi
-                if plan.recover_probe:
-                    dprobe = out["beta_probe"] * out["m_probe_update"]
-                    probe_c = probe_c + gate * dprobe
-                    if plan.probe_moment == "checked":
-                        pcomb = pcomb + dprobe / nb
-                        pbeta_sum = pbeta_sum + jnp.mean(out["beta_probe"])
-                    if plan.has_eigen:
-                        # Gate the OPR updates with the probe-recovery
-                        # predicate (host control flow in the reference).
-                        if "eigen_probe" in out and out["eigen_probe"] is not None:
-                            eigen_p2 = (
-                                gate * out["eigen_probe"]
-                                + (1 - gate) * eigen_p2
-                            )
-                        old_w = jnp.take(eigen_w2, batch_idx[n], axis=0)
-                        new_w = gate * out["w_b"] + (1 - gate) * old_w
-                        eigen_w2 = eigen_w2.at[batch_idx[n]].set(new_w)
-            else:
-                costs, psi_num, probe_num, eigen_delta = (
-                    _batch_gradients_math(
-                        cfg,
-                        data[n],
-                        scan,
-                        batch_idx[n],
-                        batch_mask[n],
-                        psi_c,
-                        probe_c,
-                        eigen_p2 if plan.has_eigen else None,
-                        eigen_w2 if plan.has_eigen else None,
-                        measured_pixels,
-                        step_length_start,
-                        step_length_weight,
-                        unmeasured_pixels_scaling,
-                        noise_model=plan.noise_model,
-                        steplength_usemodes=plan.steplength_usemodes,
-                        recover_probe=plan.recover_probe,
-                    )
-                )
-                beta_obj = jnp.asarray(0.0, jnp.float32)
-                if plan.has_eigen and eigen_delta is not None:
-                    eigen_w2 = eigen_w2.at[batch_idx[n], 0, 0].add(
-                        eigen_delta * gate
-                    )
-                if plan.compact:
-                    psi_acc = psi_acc + psi_num
-                    probe_acc = probe_acc + probe_num
-                else:
-                    if plan.recover_psi:
-                        deno = (1 - alpha) * psi_pre + alpha * jnp.abs(
-                            psi_pre
-                        ).max(axis=(-2, -1), keepdims=True)
-                        psi_c = psi_c + psi_num / deno
-                        if plan.obj_moment == "adam":
-                            # Per-batch adam on the numerator
-                            # (`rpie.py:386-414` host path).
-                            d2, obj_v2, obj_m2 = tike_tpu.opt.adam(
-                                psi_num,
-                                obj_v2,
-                                obj_m2,
-                                vdecay=plan.obj_vdecay,
-                                mdecay=plan.obj_mdecay,
-                            )
-                            psi_c = psi_c + d2 / deno
-                    if plan.recover_probe:
-                        ppre = jnp.abs(probe_pre[0])
-                        pdeno = (1 - alpha) * ppre + alpha * ppre.max()
-                        probe_c = probe_c + gate * probe_num[0] / pdeno
-                        if plan.probe_moment == "adam":
-                            d2, pv2, pm2 = tike_tpu.opt.adam(
-                                probe_num[0][0, 0, 0],
-                                probe_v2,
-                                probe_m2,
-                                vdecay=plan.probe_vdecay,
-                                mdecay=plan.probe_mdecay,
-                            )
-                            # Moment state only advances on probe-recovery
-                            # epochs (host gating in `rpie._update`).
-                            probe_v2 = jnp.where(recover_now, pv2, probe_v2)
-                            probe_m2 = jnp.where(recover_now, pm2, probe_m2)
-                            probe_c = probe_c.at[0, 0, 0].add(
-                                gate * d2 / pdeno
-                            )
-            cost = jnp.sum(costs * batch_mask[n]) / jnp.maximum(
-                jnp.sum(batch_mask[n]), 1
-            )
-            return (
-                (
-                    psi_c,
-                    probe_c,
-                    eigen_p2,
-                    eigen_w2,
-                    psi_acc,
-                    probe_acc,
-                    pos_num,
-                    pos_den,
-                    obj_v2,
-                    obj_m2,
-                    probe_v2,
-                    probe_m2,
-                    pcomb,
-                    pbeta_sum,
-                ),
-                (n, cost, beta_obj),
-            )
-
-        psi_acc0 = jnp.zeros_like(psi)
-        probe_acc0 = jnp.zeros((psi.shape[0], *probe.shape), probe.dtype)
-        pos_acc0 = jnp.zeros_like(scan)
-        # The probe_combined_update accumulator resets every epoch
-        # (`lstsq.py:411-418` host path); the moment states persist.
-        pcomb0 = (
-            jnp.zeros_like(probe)
-            if plan.solver == "lstsq" and plan.probe_moment == "checked"
-            else jnp.zeros((), probe.real.dtype)
-        )
-        (
-            (
-                psi,
-                probe,
-                eigen_p,
-                eigen_w,
-                psi_acc,
-                probe_acc,
-                pos_num,
-                pos_den,
-                obj_v,
-                obj_m,
-                probe_v,
-                probe_m,
-                pcomb,
-                pbeta_sum,
-            ),
-            (ns, costs, beta_objs),
-        ) = jax.lax.scan(
-            batch_step,
-            (
-                psi,
-                probe,
-                eigen_p,
-                eigen_w,
-                psi_acc0,
-                probe_acc0,
-                pos_acc0,
-                pos_acc0,
-                obj_v,
-                obj_m,
-                probe_v,
-                probe_m,
-                pcomb0,
-                jnp.zeros((), jnp.float32),
-            ),
-            jnp.arange(nb),
-        )
-        # Epoch cost and its on-device history tail: the host path appends
-        # the batch-mean cost to algorithm_options.costs before the
-        # momentum-checked decision consults the last three entries.
-        costs_by_batch = jnp.zeros(nb, costs.dtype).at[ns].set(costs)
-        epoch_cost = jnp.mean(costs_by_batch)
-        err_hist = jnp.roll(err_hist, shift=-1).at[-1].set(epoch_cost)
-        n_done = total_e + 1
-        # Position update once per epoch (`lstsq.py:764-806` semantics),
-        # gated on the traced epoch predicate like the host control flow.
-        if plan.recover_positions:
-            pos_gate = total_e >= plan.pos_update_start
-            palpha = 0.05
-            step = pos_num / (
-                (1 - palpha) * pos_den
-                + palpha * jnp.maximum(pos_den.max(), 1e-6)
-            )
-            if plan.pos_update_magnitude_limit > 0:
-                step = jnp.clip(
-                    step,
-                    -plan.pos_update_magnitude_limit,
-                    plan.pos_update_magnitude_limit,
-                )
-            step = step - _trim_mean(step, 0.05, axis=0)
-            if plan.pos_use_adaptive_moment:
-                step2, v2, m2 = tike_tpu.opt.adam(
-                    step,
-                    pos_v,
-                    pos_m,
-                    vdecay=plan.pos_vdecay,
-                    mdecay=plan.pos_mdecay,
-                )
-                pos_v = jnp.where(pos_gate, v2, pos_v)
-                pos_m = jnp.where(pos_gate, m2, pos_m)
-                step = step2
-            scan = jnp.where(pos_gate, scan - step, scan)
-        if plan.compact:
-            if plan.solver == "lstsq":
-                if plan.recover_psi:
-                    bobj = jnp.mean(beta_objs)
-                    dpsi = bobj * _precondition_object_update(
-                        psi_acc, psi_pre
-                    )
-                    psi = psi + dpsi
-                    if plan.obj_moment == "checked":
-                        # Epoch-end momentum_checked on the preconditioned
-                        # step, weighted by the preconditioner magnitude
-                        # (`lstsq.py:519-550` host path).
-                        d2, obj_v, obj_m = (
-                            tike_tpu.opt.momentum_checked_traced(
-                                dpsi,
-                                obj_v,
-                                obj_m,
-                                plan.obj_mdecay,
-                                err_hist,
-                                n_done,
-                                beta=bobj,
-                            )
-                        )
-                        W = jnp.abs(psi_pre)
-                        psi = psi + (W / (0.1 * W.max() + W)) * d2
-            else:
-                if plan.recover_psi:
-                    deno = (1 - alpha) * psi_pre + alpha * jnp.abs(
-                        psi_pre
-                    ).max(axis=(-2, -1), keepdims=True)
-                    psi = psi + psi_acc / deno
-                    if plan.obj_moment == "checked":
-                        # (`rpie.py:386-414` host path with errors.)
-                        d2, obj_v, obj_m = (
-                            tike_tpu.opt.momentum_checked_traced(
-                                psi_acc,
-                                obj_v,
-                                obj_m,
-                                plan.obj_mdecay,
-                                err_hist,
-                                n_done,
-                            )
-                        )
-                        psi = psi + d2 / deno
-                if plan.recover_probe:
-                    ppre = jnp.abs(probe_pre[0])
-                    pdeno = (1 - alpha) * ppre + alpha * ppre.max()
-                    probe = probe + gate * probe_acc[0] / pdeno
-                    if plan.probe_moment == "checked":
-                        d2, pv2, pm2 = (
-                            tike_tpu.opt.momentum_checked_traced(
-                                probe_acc[0][0, 0, 0],
-                                probe_v,
-                                probe_m,
-                                plan.probe_mdecay,
-                                err_hist,
-                                n_done,
-                            )
-                        )
-                        probe_v = jnp.where(recover_now, pv2, probe_v)
-                        probe_m = jnp.where(recover_now, pm2, probe_m)
-                        probe = probe.at[0, 0, 0].add(gate * d2 / pdeno)
-
-        if (
-            plan.solver == "lstsq"
-            and plan.recover_probe
-            and plan.probe_moment == "checked"
-        ):
-            # Epoch-end momentum_checked on the mean probe update, main
-            # mode only (`lstsq.py:552-584` host path; runs for compact and
-            # non-compact alike).
-            bprb = pbeta_sum / nb
-            d2, pv2, pm2 = tike_tpu.opt.momentum_checked_traced(
-                pcomb[..., 0, :, :],
-                probe_v,
-                probe_m,
-                plan.probe_mdecay,
-                err_hist,
-                n_done,
-                beta=bprb,
-            )
-            probe_v = jnp.where(recover_now, pv2, probe_v)
-            probe_m = jnp.where(recover_now, pm2, probe_m)
-            probe = probe.at[..., 0, :, :].add(gate * d2)
-
-        if plan.has_eigen and plan.solver == "rpie":
-            # Epsilon keeps all-zero weight columns at zero (see
-            # rpie._normalize_eigen_weights).
-            eigen_w = eigen_w / (
-                tike_tpu.linalg.mnorm(eigen_w, axis=-3, keepdims=True)
-                + 1e-32
-            )
-
-        # Object constraints (`ptycho.py:812-853`).
-        if plan.recover_psi:
-            if plan.positivity:
-                psi = object_module.positivity_constraint(
-                    psi, r=plan.positivity
-                )
-            if plan.smoothness:
-                psi = object_module.smoothness_constraint(
-                    psi, a=plan.smoothness
-                )
-            if plan.clip_magnitude:
-                psi = object_module.clip_magnitude(psi, a_max=1.0)
-            if plan.rescale_mean_abs:
-                do_rescale = (
-                    (epoch0 + e + 1) % plan.rescale_period
-                ) == 0
-                W = psi_pre.real
-                W = W / tike_tpu.linalg.mnorm(W)
-                object_norm = 2 * jnp.sqrt(
-                    jnp.mean(jnp.square(jnp.abs(psi)) * W)
-                )
-                scale = jnp.where(do_rescale, object_norm, 1.0)
-                psi = psi / scale
-                probe = probe * scale
-
-        return (
-            (
-                psi,
-                probe,
-                eigen_p,
-                eigen_w,
-                scan,
-                pos_v,
-                pos_m,
-                obj_v,
-                obj_m,
-                probe_v,
-                probe_m,
-                err_hist,
-            ),
-            (costs_by_batch, pwr),
+        return _epoch_math(
+            plan,
+            None,
+            epoch0,
+            data,
+            batch_idx,
+            batch_mask,
+            orders,
+            measured_pixels,
+            step_length_start,
+            step_length_weight,
+            unmeasured_pixels_scaling,
+            None,
+            None,
+            carry,
+            e,
         )
 
     if eigen_probe is None:

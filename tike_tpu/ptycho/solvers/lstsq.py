@@ -59,6 +59,23 @@ def _trim_mean(x, proportion=0.05, axis=0):
     return jnp.mean(s[tuple(sl)], axis=axis, keepdims=True)
 
 
+def _masked_trim_mean(x, mask, proportion=0.05):
+    """:func:`_trim_mean` over axis 0 counting only ``mask > 0`` rows.
+
+    Equals _trim_mean when the mask is all ones; used by the striped mode
+    where positions are padded to a common per-stripe capacity.
+    """
+    valid = mask > 0
+    big = jnp.where(valid[:, None], x, jnp.inf)
+    s = jnp.sort(big, axis=0)
+    nv = jnp.sum(valid).astype(jnp.int32)
+    k = (proportion * nv).astype(jnp.int32)
+    idx = jnp.arange(x.shape[0])[:, None]
+    inr = (idx >= k) & (idx < nv - k)
+    cnt = jnp.maximum(jnp.sum(inr, axis=0), 1)
+    return jnp.sum(jnp.where(inr, s, 0.0), axis=0, keepdims=True) / cnt
+
+
 def _lstsq_batch_math(
     cfg: PtychoConfig,
     data_b,
