@@ -334,6 +334,54 @@ def test_striped_measured_pixels_mask():
     assert costs[-1] < costs[0]
 
 
+def test_striped_empty_stripes_stay_finite():
+    """Stripes with no scan positions must not poison the run with NaNs.
+
+    A short object on many devices leaves trailing stripes empty; their
+    0/0 preconditioner divisions and degenerate LSQML betas are guarded
+    to contribute nothing (the reference's ragged per-GPU stripes simply
+    have no such workers).
+    """
+    rng = np.random.default_rng(0)
+    hw, p, npos = 96, 16, 96
+    yy, xx = np.mgrid[0:hw, 0:hw] / hw
+    psi_true = np.exp(1j * 0.4 * np.sin(5 * yy) * np.cos(3 * xx)).astype(
+        np.complex64
+    )[None]
+    probe = (tp.gaussian(p) * np.exp(1j * 0.2 * tp.gaussian(p)))[
+        None, None, None
+    ].astype(np.complex64)
+    # Positions only in the TOP half: the bottom stripes are empty.
+    scan = np.stack(
+        [
+            rng.uniform(2, hw // 2 - p, npos),
+            rng.uniform(2, hw - p - 3, npos),
+        ],
+        -1,
+    ).astype(np.float32)
+    data = tp.simulate(p, probe, scan, psi_true).astype(np.float32)
+    for algo in (tp.RpieOptions, tp.LstsqOptions):
+        params = tp.PtychoParameters(
+            probe=probe.copy(),
+            psi=np.full_like(psi_true, 0.5),
+            scan=scan.copy(),
+            algorithm_options=algo(
+                num_batch=2, num_iter=2, batch_method="compact"
+            ),
+            object_options=tp.ObjectOptions(),
+            probe_options=tp.ProbeOptions(
+                init_rescale_from_measurements=False
+            ),
+        )
+        res = tp.reconstruct(
+            data, params, mesh=make_mesh(), object_sharding="striped"
+        )
+        costs = [float(np.mean(c)) for c in res.algorithm_options.costs]
+        assert np.all(np.isfinite(costs)), (algo.__name__, costs)
+        assert np.all(np.isfinite(res.psi)), algo.__name__
+        assert np.all(np.isfinite(res.probe)), algo.__name__
+
+
 def test_striped_requires_mesh_and_validates_options():
     psi_true, probe, scan, data = _setup(n=64)
     params = tp.PtychoParameters(

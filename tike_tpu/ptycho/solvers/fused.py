@@ -99,6 +99,14 @@ class EpochPlan:
     probe_mdecay: float = 0.9
 
 
+def _fz(x):
+    """Replace non-finite entries with 0 (empty-stripe 0/0 guards).
+
+    A no-op on finite data, so the replicated-path parity is unchanged.
+    """
+    return jnp.where(jnp.isfinite(x), x, 0)
+
+
 def _probe_constraints_math(plan: EpochPlan, probe):
     """The reference's per-epoch probe constraints (`ptycho.py:723-810`)."""
     if plan.probe_support > 0:
@@ -516,8 +524,8 @@ def _epoch_math(
         if plan.solver == "lstsq":
             if plan.recover_psi:
                 bobj = jnp.mean(beta_objs)
-                dpsi = bobj * _precondition_object_update(
-                    psi_acc, psi_pre
+                dpsi = _fz(
+                    bobj * _precondition_object_update(psi_acc, psi_pre)
                 )
                 psi = psi + dpsi
                 if plan.obj_moment == "checked":
@@ -536,13 +544,13 @@ def _epoch_math(
                         )
                     )
                     W = jnp.abs(psi_pre)
-                    psi = psi + (W / (0.1 * W.max() + W)) * d2
+                    psi = psi + _fz((W / (0.1 * W.max() + W)) * d2)
         else:
             if plan.recover_psi:
                 deno = (1 - alpha) * psi_pre + alpha * jnp.abs(
                     psi_pre
                 ).max(axis=(-2, -1), keepdims=True)
-                psi = psi + psi_acc / deno
+                psi = psi + _fz(psi_acc / deno)
                 if plan.obj_moment == "checked":
                     # (`rpie.py:386-414` host path with errors.)
                     d2, obj_v, obj_m = (
@@ -555,11 +563,11 @@ def _epoch_math(
                             n_done,
                         )
                     )
-                    psi = psi + d2 / deno
+                    psi = psi + _fz(d2 / deno)
             if plan.recover_probe:
                 ppre = jnp.abs(probe_pre[0])
                 pdeno = (1 - alpha) * ppre + alpha * ppre.max()
-                probe = probe + gate * probe_acc[0] / pdeno
+                probe = probe + gate * _fz(probe_acc[0] / pdeno)
                 if plan.probe_moment == "checked":
                     d2, pv2, pm2 = (
                         tike_tpu.opt.momentum_checked_traced(

@@ -295,18 +295,22 @@ def _lstsq_batch_math(
         x1 = x2 = None
 
     nvalid = jnp.sum(bmask) + 1e-32
+    # Degenerate (all-masked) batches — empty stripes in the striped
+    # object mode — give 0/0 in the per-position solves; their masked
+    # weighted sums must be 0, not NaN (NaN * 0 = NaN otherwise).
+    finz = lambda x: jnp.where(jnp.isfinite(x), x, 0)
     if x1 is not None:
-        step = 0.9 * jnp.maximum(0, x1[..., None, None].real)
+        step = 0.9 * jnp.maximum(0, finz(x1[..., None, None].real))
         out["beta_object"] = (
             jnp.sum(step * bmask[:, None, None, None, None], axis=0) / nvalid
         )[0, 0, 0]
     if x1_solo is not None:
-        step = 0.9 * jnp.maximum(0, x1_solo[..., None, None].real)
+        step = 0.9 * jnp.maximum(0, finz(x1_solo[..., None, None].real))
         out["beta_object_solo"] = (
             jnp.sum(step * bmask[:, None, None, None, None], axis=0) / nvalid
         )[0, 0, 0]
     if x2 is not None:
-        step = 0.9 * jnp.maximum(0, x2[..., None, None].real)
+        step = 0.9 * jnp.maximum(0, finz(x2[..., None, None].real))
         out["beta_probe"] = (
             jnp.sum(step * bmask[:, None, None, None, None], axis=0) / nvalid
         )
