@@ -1,0 +1,144 @@
+"""One rank of the 2-process consistency suite (see run_mp_suite.py).
+
+Runs a matrix of reconstruct-consistency scenarios through the PRODUCTION
+multi-process branches — the DP layout (`_enter_multi_host` with
+`make_global_batch_data`) and the striped object decomposition — under a
+real 2-process `jax.distributed` runtime, mirroring the reference's
+``mpiexec -n 2 python -m pytest`` CI job
+(`/root/reference/.github/workflows/unit-tests.yml:143`).
+"""
+
+import os
+import sys
+
+import numpy as np
+
+
+def scenarios():
+    """The test matrix: name -> (sharding, algo, features)."""
+    return [
+        ("dp_rpie_compact", "replicated", "rpie", {}),
+        ("dp_lstsq_wobbly", "replicated", "lstsq_grad", {"wobbly": True}),
+        ("dp_rpie_eigen", "replicated", "rpie", {"eigen": True}),
+        ("striped_rpie", "striped", "rpie", {}),
+        ("striped_lstsq_opr_pos", "striped", "lstsq_grad",
+         {"eigen": True, "positions": True}),
+    ]
+
+
+def build_problem(seed=11, h=128, p=16, n=120, nmodes=2):
+    import tike_tpu.ptycho as tp
+
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:h] / h
+    psi = (
+        np.exp(1j * 0.5 * np.sin(5 * yy) * np.cos(3 * xx))
+        * (0.9 + 0.1 * np.cos(7 * xx))
+    ).astype(np.complex64)[None]
+    probe = (tp.gaussian(p) * np.exp(1j * 0.2 * tp.gaussian(p)))[
+        None, None, None
+    ].astype(np.complex64)
+    if nmodes > 1:
+        probe = np.asarray(
+            tp.add_modes_cartesian_hermite(probe, nmodes)
+        ).astype(np.complex64)
+    scan = np.stack(
+        [rng.uniform(2, h - p - 3, n), rng.uniform(2, h - p - 3, n)], -1
+    ).astype(np.float32)
+    data = tp.simulate(detector_shape=p, probe=probe, scan=scan, psi=psi)
+    return data.astype(np.float32), scan, probe, psi.shape
+
+
+def run_scenario(name, sharding, algo, feat, mesh, dist):
+    import tike_tpu.ptycho as tp
+    from tike_tpu.parallel.striped import striped_local_indices
+
+    data, scan, probe, psi_shape = build_problem()
+    n = scan.shape[0]
+    m = probe.shape[-3]
+    kwargs = {}
+    if feat.get("eigen"):
+        weights = np.zeros((n, 2, m), np.float32)
+        weights[:, 0, :] = 1.0
+        kwargs["eigen_probe"] = 0.01 * probe[:, :1, :1]
+        kwargs["eigen_weights"] = weights
+    if feat.get("positions"):
+        kwargs["position_options"] = tp.PositionOptions(
+            initial_scan=scan, update_magnitude_limit=0.2
+        )
+    algo_cls = tp.RpieOptions if algo == "rpie" else tp.LstsqOptions
+    params = tp.PtychoParameters(
+        psi=np.full(psi_shape, 0.5 + 0j, np.complex64),
+        probe=probe.copy(),
+        scan=scan.copy(),
+        algorithm_options=algo_cls(
+            num_iter=3,
+            num_batch=2,
+            batch_method=(
+                "wobbly_center" if feat.get("wobbly") else "compact"
+            ),
+        ),
+        object_options=tp.ObjectOptions(),
+        probe_options=tp.ProbeOptions(init_rescale_from_measurements=False),
+        **kwargs,
+    )
+    if sharding == "striped":
+        local_idx = striped_local_indices(
+            scan, psi_shape[-2:], probe.shape[-1], mesh
+        )
+        data_local = data[local_idx]
+        result = tp.reconstruct(
+            data_local, params, mesh=mesh, object_sharding="striped"
+        )
+    else:
+        # Production DP: per-process data stripe, global SPMD program.
+        local_idx = dist.stripe_for_process(scan)
+        data_local = data[local_idx]
+        with tp.Reconstruction(
+            data=data_local, parameters=params, mesh=mesh, random_seed=0
+        ) as context:
+            context.iterate(params.algorithm_options.num_iter)
+            result = context.get_result()
+    costs = np.asarray(
+        [float(np.mean(c)) for c in result.algorithm_options.costs]
+    )
+    assert np.all(np.isfinite(costs)), (name, costs)
+    assert costs[-1] < costs[0], (name, costs)
+    return {
+        f"{name}_psi": np.asarray(result.psi),
+        f"{name}_probe": np.asarray(result.probe),
+        f"{name}_costs": costs,
+    }
+
+
+def main():
+    rank = int(sys.argv[1])
+    port = sys.argv[2]
+    out = sys.argv[3]
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+    import tike_tpu.parallel.distributed as dist
+
+    dist.initialize(
+        coordinator_address=f"localhost:{port}",
+        num_processes=2,
+        process_id=rank,
+    )
+    assert jax.device_count() == 4
+
+    mesh = dist.global_mesh()
+    results = {}
+    for name, sharding, algo, feat in scenarios():
+        results.update(run_scenario(name, sharding, algo, feat, mesh, dist))
+        print(f"rank {rank}: {name} OK", flush=True)
+    np.savez(f"{out}.{rank}.npz", **results)
+    print(f"rank {rank} done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -89,6 +89,78 @@ def test_two_process_reconstruction_matches_single_process(tmp_path):
     )
 
 
+def test_two_process_striped_object_matches_single_process(tmp_path):
+    """The striped (>HBM) object decomposition across 2 real processes.
+
+    The reference's object-domain model parallelism spans MPI ranks
+    (`bucket.py:267-274`, `mpi.py:61-85`); here 2 jax.distributed
+    processes each hold only their stripes' psi windows and diffraction
+    patterns, and the stitched result must match a single-process
+    4-device striped run bit-for-bit (same seed, compact batches).
+    """
+    from ._striped_dist_worker import build_problem, make_parameters
+    import tike_tpu.ptycho as tp
+
+    worker = os.path.join(
+        os.path.dirname(__file__), "_striped_dist_worker.py"
+    )
+    out = str(tmp_path / "sdist")
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    port = 23991
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(rank), str(port), out],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for rank in (0, 1)
+    ]
+    logs = []
+    for prc in procs:
+        stdout, _ = prc.communicate(timeout=600)
+        logs.append(stdout.decode())
+    for prc, log in zip(procs, logs):
+        assert prc.returncode == 0, f"worker failed:\n{log[-4000:]}"
+    r0, r1 = [np.load(f"{out}.{rank}.npz") for rank in (0, 1)]
+
+    # Both ranks stitched the identical global object.
+    np.testing.assert_allclose(r0["psi"], r1["psi"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(r0["probe"], r1["probe"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(r0["costs"], r1["costs"], rtol=1e-6)
+    assert np.all(np.isfinite(r0["costs"]))
+    assert r0["costs"][-1] < r0["costs"][0]
+
+    # A single process with 4 devices runs the same global program.
+    from jax.sharding import Mesh
+
+    data, scan, probe, psi_shape = build_problem()
+    params = make_parameters(scan, probe, psi_shape)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("batch",))
+    with tp.Reconstruction(
+        data=data,
+        parameters=params,
+        mesh=mesh,
+        object_sharding="striped",
+        random_seed=0,  # the multi-host path forces seed 0
+    ) as context:
+        context.iterate(params.algorithm_options.num_iter)
+        single = context.get_result()
+    costs = [float(np.mean(c)) for c in single.algorithm_options.costs]
+    np.testing.assert_allclose(costs, r0["costs"], rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(single.psi), r0["psi"], rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(single.probe), r0["probe"], rtol=1e-4, atol=1e-5
+    )
+
+
 def test_stripe_for_process_partitions_all_rows():
     """Stripes are disjoint, cover every row, and have equal counts."""
     import tike_tpu.parallel.distributed as dist

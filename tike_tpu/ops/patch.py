@@ -117,6 +117,7 @@ def patch_fwd(
     images: jax.Array,
     positions: jax.Array,
     patch_width: int,
+    precision=jax.lax.Precision.HIGHEST,
 ) -> jax.Array:
     """Extract bilinearly-interpolated square patches from an image.
 
@@ -145,13 +146,15 @@ def patch_fwd(
 
     tiles = jax.vmap(one_tile)(cy, cx)  # (N, C, th, tw) aligned gather
     R, C = _selection_mats(p, corner, frac)
-    # patch = R^T @ tile @ C on the MXU (HIGHEST keeps f32 blend weights).
+    # patch = R^T @ tile @ C on the MXU. Default HIGHEST keeps f32 blend
+    # weights (the parity surface); solver internals pass HIGH (bf16_3x,
+    # measured ~15% faster with 3.6e-5 relative error — BENCH_TABLE.md).
     out = jnp.einsum(
         "nya,ncyx,nxb->ncab",
         R,
         tiles,
         C,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     # (N, C, P, P) -> complex (N, P, P)
     return _f2c(jnp.moveaxis(out, 1, 0), images.dtype)

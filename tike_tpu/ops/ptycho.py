@@ -101,6 +101,7 @@ def multislice_fwd(
     psi: jax.Array,
     scan: jax.Array,
     probe: jax.Array,
+    precision=jax.lax.Precision.HIGHEST,
 ):
     """Propagate the probe through all object slices.
 
@@ -114,14 +115,14 @@ def multislice_fwd(
     probe0 = jnp.broadcast_to(probe, (b, m, p, p))
 
     if cfg.nslices == 1:
-        patches = patch_fwd(psi[0], scan, p)
+        patches = patch_fwd(psi[0], scan, p, precision=precision)
         exitwave = patches[:, None, :, :] * probe0
         return exitwave, probe0[None]
 
     prop = cfg.propagator()
 
     def step(carry_probe, psi_slice):
-        patches = patch_fwd(psi_slice, scan, p)
+        patches = patch_fwd(psi_slice, scan, p, precision=precision)
         exitwave = patches[:, None, :, :] * carry_probe
         next_probe = fresnel_fwd(exitwave, prop)
         return next_probe, (carry_probe, exitwave)
@@ -145,9 +146,18 @@ def ptycho_fwd(
 
 
 def ptycho_fwd_with_probes(cfg, psi, scan, probe):
-    """Forward model also returning per-slice incident probes for solvers."""
-    exitwave, slice_probes = multislice_fwd(cfg, psi, scan, probe)
-    farplane = propagation_fwd(_pad_to_detector(exitwave, cfg))
+    """Forward model also returning per-slice incident probes for solvers.
+
+    Solver-internal: uses the MXU DFT-matmul FFT at detector sizes <= 256
+    (propagation_fwd_fast); the parity-facing ptycho_fwd keeps the exact
+    FFT.
+    """
+    from .propagation import propagation_fwd_fast
+
+    exitwave, slice_probes = multislice_fwd(
+        cfg, psi, scan, probe, precision=jax.lax.Precision.HIGH
+    )
+    farplane = propagation_fwd_fast(_pad_to_detector(exitwave, cfg))
     return farplane, slice_probes
 
 

@@ -294,7 +294,7 @@ class StripedState:
                     probe_m,
                     err_hist,
                 ),
-                (costs, pwr),
+                (costs, pwr, ecosts),
             ) = jax.lax.scan(epoch_body, carry0, jnp.arange(n_epochs))
             return (
                 psi_l[None],
@@ -309,7 +309,7 @@ class StripedState:
                 probe_v,
                 probe_m,
                 err_hist,
-                costs[None],  # (1, E, nb) -> (ndev, E, nb) sharded
+                ecosts,  # (E,) globally-weighted epoch costs, replicated
                 pwr,
             )
 
@@ -351,7 +351,7 @@ class StripedState:
             rep,  # probe_v
             rep,  # probe_m
             rep,  # err_hist
-            dev,  # costs
+            rep,  # epoch costs (globally weighted, identical everywhere)
             rep,  # pwr
         )
         # check_vma=False: the patch-op scans initialize accumulators with
@@ -373,6 +373,51 @@ class StripedState:
 def _zeros_dev(shape, complex=True):
     dt = np.complex64 if complex else np.float32
     return upload(np.zeros(shape, dt))
+
+
+def _own_stripe_rows(mesh: Mesh) -> np.ndarray:
+    """Stripe indices (mesh axis-0 positions) owned by this process.
+
+    Shard k of a P(BATCH_AXIS)-sharded stripe-major array lives on
+    ``mesh.devices.flat[k]``; in a multi-process run each process
+    contributes the rows of its own devices (ascending order, as
+    `jax.make_array_from_process_local_data` expects).
+    """
+    import jax
+
+    pidx = jax.process_index()
+    return np.array(
+        [
+            k
+            for k, d in enumerate(mesh.devices.flat)
+            if d.process_index == pidx
+        ],
+        dtype=np.int64,
+    )
+
+
+def striped_local_indices(
+    scan: np.ndarray,
+    object_shape: typing.Tuple[int, int],
+    probe_width: int,
+    mesh: Mesh,
+    position_margin: int = 8,
+) -> np.ndarray:
+    """Global scan indices whose stripes this process owns (ascending).
+
+    The multi-host data contract (the reference's `MPIio_ptycho` analog,
+    `mpi.py:61-92`): each process loads ``data[striped_local_indices(...)]``
+    and passes that block to the striped driver.
+    """
+    plan = plan_stripes(
+        np.asarray(scan),
+        object_shape,
+        probe_width,
+        mesh.size,
+        position_margin=position_margin,
+    )
+    own = _own_stripe_rows(mesh)
+    return np.flatnonzero(np.isin(plan.assignment, own))
 
 
 def setup_striped_full(
@@ -406,6 +451,7 @@ def setup_striped_full(
     ``batch_method`` (the reference's per-stripe clustering,
     `cluster.py:238-242`).
     """
+    import jax as _jax
     import tike_tpu.cluster as cluster
 
     rng = np.random.default_rng(0) if rng is None else rng
@@ -420,6 +466,26 @@ def setup_striped_full(
         scan, (h, w), p, ndev, position_margin=position_margin
     )
     num_batch = max(1, int(num_batch))
+    # Multi-process: this process assembles only its own devices' stripe
+    # blocks; the plan/batching above is computed identically on every
+    # process (pass a seeded rng so clustering layouts agree). Data may be
+    # the full array or this process's `striped_local_indices` block.
+    multi = _jax.process_count() > 1 and all(
+        d_.process_index is not None for d_ in mesh.devices.flat
+    )
+    own = _own_stripe_rows(mesh) if multi else np.arange(ndev)
+    own_set = set(int(k) for k in own)
+    data_lookup = None
+    if multi and data.shape[0] != scan.shape[0]:
+        local_idx = np.flatnonzero(np.isin(plan.assignment, own))
+        if data.shape[0] != len(local_idx):
+            raise ValueError(
+                f"data has {data.shape[0]} patterns but this process's "
+                f"stripes cover {len(local_idx)} (or pass the full "
+                f"{scan.shape[0]})"
+            )
+        data_lookup = np.full(scan.shape[0], -1, np.int64)
+        data_lookup[local_idx] = np.arange(len(local_idx))
 
     # --- per-stripe mini-batch clustering --------------------------------
     method = cluster.BATCH_METHODS[batch_method]
@@ -455,51 +521,56 @@ def setup_striped_full(
     nb = num_batch
     cap = max(1, max(len(o) for o in order))
 
-    # --- assemble stripe-major arrays ------------------------------------
-    data_s = np.zeros((ndev, nb, L, det, det), np.float32)
-    scan_s = np.zeros((ndev, cap, 2), np.float32)
-    pos_mask = np.zeros((ndev, cap), np.float32)
-    bidx_s = np.zeros((ndev, nb, L), np.int32)
-    bmask_s = np.zeros((ndev, nb, L), np.float32)
-    row_mask = np.zeros((ndev, plan.local_height), np.float32)
+    # --- assemble stripe-major arrays (this process's rows only) ---------
+    n_own = len(own)
+    data_s = np.zeros((n_own, nb, L, det, det), np.float32)
+    scan_s = np.zeros((n_own, cap, 2), np.float32)
+    pos_mask = np.zeros((n_own, cap), np.float32)
+    bidx_s = np.zeros((n_own, nb, L), np.int32)
+    bmask_s = np.zeros((n_own, nb, L), np.float32)
+    row_mask = np.zeros((n_own, plan.local_height), np.float32)
     C = eigen_weights.shape[-2] if eigen_weights is not None else 0
     M = eigen_weights.shape[-1] if eigen_weights is not None else 0
     ew_s = (
-        np.zeros((ndev, cap, C, M), np.float32)
+        np.zeros((n_own, cap, C, M), np.float32)
         if eigen_weights is not None
         else None
     )
     pvm = None
     if pos_momentum is not None:
-        pvm = np.zeros((ndev, cap, 4), np.float32)
-    for k in range(ndev):
+        pvm = np.zeros((n_own, cap, 4), np.float32)
+    for j, k in enumerate(own):
         sel = order[k]
         nk = len(sel)
         idx_k, mask_k = per_stripe[k]
         lk = idx_k.shape[1]
-        bidx_s[k, :, :lk] = idx_k
-        bmask_s[k, :, :lk] = mask_k
+        bidx_s[j, :, :lk] = idx_k
+        bmask_s[j, :, :lk] = mask_k
         if nk:
             local = scan[sel].copy()
             local[:, 0] += plan.halo - k * plan.stripe_height
-            scan_s[k, :nk] = local
-            scan_s[k, nk:] = local[0] if nk else (plan.halo + 1, 1)
-            pos_mask[k, :nk] = 1.0
+            scan_s[j, :nk] = local
+            scan_s[j, nk:] = local[0] if nk else (plan.halo + 1, 1)
+            pos_mask[j, :nk] = 1.0
             # Batch-major data: rows follow the local contiguous order.
             for b in range(nb):
                 valid = mask_k[b] > 0
                 rows = idx_k[b][valid]
-                data_s[k, b, : len(rows)] = data[sel[rows]]
+                gsel = sel[rows]
+                if data_lookup is not None:
+                    gsel = data_lookup[gsel]
+                    assert np.all(gsel >= 0)
+                data_s[j, b, : len(rows)] = data[gsel]
             if ew_s is not None:
-                ew_s[k, :nk] = eigen_weights[sel]
+                ew_s[j, :nk] = eigen_weights[sel]
             if pvm is not None:
-                pvm[k, :nk] = pos_momentum[sel]
+                pvm[j, :nk] = pos_momentum[sel]
         else:
-            scan_s[k, :] = (plan.halo + 1, 1)
+            scan_s[j, :] = (plan.halo + 1, 1)
         lo = k * plan.stripe_height
         hi = min((k + 1) * plan.stripe_height, h)
         if hi > lo:
-            row_mask[k, plan.halo : plan.halo + (hi - lo)] = 1.0
+            row_mask[j, plan.halo : plan.halo + (hi - lo)] = 1.0
 
     # Local psi windows: rows [k*Hs - halo, k*Hs + Hs + halo), padded with
     # the background value outside the global object.
@@ -519,7 +590,7 @@ def setup_striped_full(
                 k * plan.stripe_height : k * plan.stripe_height
                 + plan.local_height,
             ]
-            for k in range(ndev)
+            for k in own
         ]
     ).astype(np.complex64)
 
@@ -544,17 +615,38 @@ def setup_striped_full(
 
     dev_sharding = NamedSharding(mesh, P(BATCH_AXIS))
     rep_sharding = NamedSharding(mesh, P())
+    from tike_tpu.utils.pairs import Pair, complex_to_pair_host, pair_mode
 
     def put_dev(x, complex=False):
-        arr = upload(np.asarray(x)) if complex else jnp.asarray(x)
-        return jax.device_put(arr, dev_sharding)
+        """Stripe-major placement; x holds this process's rows only."""
+        x = np.asarray(x)
+        wrap = complex and pair_mode()
+        if wrap:
+            x = complex_to_pair_host(x)
+        if multi:
+            arr = jax.make_array_from_process_local_data(
+                dev_sharding, x, global_shape=(ndev, *x.shape[1:])
+            )
+        else:
+            arr = jax.device_put(jnp.asarray(x), dev_sharding)
+        return Pair(arr) if wrap else arr
 
     def put_rep(x, complex=False):
-        arr = upload(np.asarray(x)) if complex else jnp.asarray(x)
-        return jax.device_put(arr, rep_sharding)
+        """Replicated placement (identical full array on every process)."""
+        x = np.asarray(x)
+        wrap = complex and pair_mode()
+        if wrap:
+            x = complex_to_pair_host(x)
+        if multi:
+            arr = jax.make_array_from_callback(
+                x.shape, rep_sharding, lambda idx: x[idx]
+            )
+        else:
+            arr = jax.device_put(jnp.asarray(x), rep_sharding)
+        return Pair(arr) if wrap else arr
 
     # Moment states (per the EpochPlan moment kinds).
-    psi_local_shape = (ndev, d, plan.local_height, w)
+    psi_local_shape = (n_own, d, plan.local_height, w)
     obj_v = obj_m = jnp.zeros((), jnp.float32)
     if plan_static.obj_moment != "none":
         obj_m = put_dev(
@@ -564,7 +656,7 @@ def setup_striped_full(
             obj_v = put_dev(np.zeros(psi_local_shape, np.float32))
         elif plan_static.obj_moment == "checked":
             obj_v = put_dev(
-                np.zeros((ndev, 3, *psi_local_shape[1:]), np.complex64),
+                np.zeros((n_own, 3, *psi_local_shape[1:]), np.complex64),
                 complex=True,
             )
     probe_v = probe_m = jnp.zeros((), jnp.float32)
@@ -592,8 +684,8 @@ def setup_striped_full(
             pos_v = put_dev(pvm[..., 0:2])
             pos_m = put_dev(pvm[..., 2:4])
         else:
-            pos_v = put_dev(np.zeros((ndev, cap, 2), np.float32))
-            pos_m = put_dev(np.zeros((ndev, cap, 2), np.float32))
+            pos_v = put_dev(np.zeros((n_own, cap, 2), np.float32))
+            pos_m = put_dev(np.zeros((n_own, cap, 2), np.float32))
 
     return StripedState(
         plan=plan,
@@ -664,7 +756,7 @@ def striped_iterate(state: StripedState, n_epochs: int) -> typing.List[float]:
         state.probe_v,
         state.probe_m,
         state.err_hist,
-        costs,
+        ecosts,
         pwr,
     ) = program(
         jnp.asarray(state.epochs_done, jnp.int32),
@@ -697,17 +789,32 @@ def striped_iterate(state: StripedState, n_epochs: int) -> typing.List[float]:
         state.eigen_w = eigen_w
         state.eigen_p = eigen_p
     state.epochs_done += n_epochs
-    # Weighted global epoch cost (weights = per-batch valid counts).
-    costs_h = to_host(costs)  # (ndev, E, nb)
-    bw = to_host(jnp.sum(state.batch_mask, axis=-1))  # (ndev, nb)
-    num = (costs_h * bw[:, None, :]).sum(axis=(0, 2))
-    den = max(bw.sum(), 1.0)
-    return [float(c) / den for c in num]
+    # Globally-weighted epoch costs come out of the program replicated
+    # (psum-weighted inside _epoch_math), so this also works when the
+    # stripes span multiple processes.
+    return [float(c) for c in to_host(ecosts)]
 
 
 def striped_epoch(state: StripedState) -> float:
     """Advance one epoch in place; return the mean cost."""
     return striped_iterate(state, 1)[0]
+
+
+def _fetch_dev(x) -> np.ndarray:
+    """Host copy of a stripe-major global array.
+
+    Gathers the non-addressable shards across processes in a multi-host
+    run (the reference's rank-0 MPI gather at join time).
+    """
+    from tike_tpu.utils.pairs import Pair, pair_to_complex_host
+
+    if isinstance(x, Pair):
+        return pair_to_complex_host(_fetch_dev(x.data))
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return to_host(x)
 
 
 def striped_result(
@@ -717,7 +824,7 @@ def striped_result(
     from tike_tpu.utils.pairs import download
 
     return (
-        stitch(state.plan, download(state.psi), state.height),
+        stitch(state.plan, _fetch_dev(state.psi), state.height),
         download(state.probe),
     )
 
@@ -728,13 +835,13 @@ def striped_full_result(state: StripedState) -> dict:
 
     n_total = sum(len(o) for o in state.order)
     out = {
-        "psi": stitch(state.plan, download(state.psi), state.height),
+        "psi": stitch(state.plan, _fetch_dev(state.psi), state.height),
         "probe": download(state.probe),
         "eigen_probe": (
             download(state.eigen_p) if state.eigen_w is not None else None
         ),
     }
-    scan_l = to_host(state.scan)
+    scan_l = _fetch_dev(state.scan)
     scan_g = np.zeros((n_total, 2), np.float32)
     for k, sel in enumerate(state.order):
         nk = len(sel)
@@ -743,7 +850,7 @@ def striped_full_result(state: StripedState) -> dict:
         scan_g[sel] = local
     out["scan"] = scan_g
     if state.eigen_w is not None:
-        ew_l = download(state.eigen_w)
+        ew_l = _fetch_dev(state.eigen_w)
         ew_g = np.zeros((n_total, *ew_l.shape[2:]), ew_l.dtype)
         for k, sel in enumerate(state.order):
             ew_g[sel] = ew_l[k, : len(sel)]
@@ -751,8 +858,8 @@ def striped_full_result(state: StripedState) -> dict:
     else:
         out["eigen_weights"] = None
     if state.epoch_plan.recover_positions:
-        pv = to_host(state.pos_v)
-        pm = to_host(state.pos_m)
+        pv = _fetch_dev(state.pos_v)
+        pm = _fetch_dev(state.pos_m)
         mom = np.zeros((n_total, 4), np.float32)
         for k, sel in enumerate(state.order):
             mom[sel, 0:2] = pv[k, : len(sel)]

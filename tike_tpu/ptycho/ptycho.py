@@ -176,6 +176,9 @@ class Reconstruction:
         if (
             data.shape[0] != parameters.scan.shape[0]
             and not self._is_multi_host()
+            and not (
+                object_sharding == "striped" and jax.process_count() > 1
+            )
         ):
             # Only the multi-host layout may pass a per-process data stripe
             # (validated against the stripe length in _enter_multi_host);
@@ -403,11 +406,26 @@ class Reconstruction:
                 "use_position_regularization or use the replicated path"
             )
         margin = 8
+        multi = jax.process_count() > 1
+        if multi and self._seed is None:
+            # All processes must draw identical per-stripe batch layouts.
+            self._rng = np.random.default_rng(0)
+            logger.info(
+                "striped multi-host: no random_seed given; using 0 so all "
+                "processes agree on batch layouts"
+            )
         probe = np.asarray(p.probe)
         if (
             p.probe_options is not None
             and p.probe_options.init_rescale_from_measurements
         ):
+            if multi:
+                raise ValueError(
+                    "striped multi-host mode cannot auto-rescale the probe "
+                    "from per-process data (processes would disagree); "
+                    "rescale on the host first and set "
+                    "init_rescale_from_measurements=False"
+                )
             scale = striped.estimate_probe_rescale(
                 np.asarray(self.data_host),
                 np.asarray(p.psi),

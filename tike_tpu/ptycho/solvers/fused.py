@@ -729,7 +729,7 @@ def _epoch_math(
             probe_m,
             err_hist,
         ),
-        (costs_by_batch, pwr),
+        (costs_by_batch, pwr, epoch_cost),
     )
 
 
@@ -815,7 +815,7 @@ def iterate_program(
             probe_m,
             err_hist,
         ),
-        (all_costs, all_powers),
+        (all_costs, all_powers, _),
     ) = jax.lax.scan(
         epoch_body,
         (

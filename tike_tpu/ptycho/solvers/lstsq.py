@@ -26,7 +26,10 @@ import tike_tpu.utils.transfer
 from tike_tpu.utils.pairs import Pair, pair_jit
 from tike_tpu.ops.objective import ELEMENTWISE, GRAD
 from tike_tpu.ops.patch import patch_adj, patch_fwd
-from tike_tpu.ops.propagation import propagation_adj, propagation_fwd
+from tike_tpu.ops.propagation import (
+    propagation_adj_fast,
+    propagation_fwd_fast,
+)
 from tike_tpu.ops.ptycho import (
     PtychoConfig,
     _crop_from_detector,
@@ -123,9 +126,11 @@ def _lstsq_batch_math(
         )
 
     # Forward model (single slice).
-    patches2d = patch_fwd(psi[0], scan_b, cfg.probe_shape)  # (B, P, P)
+    patches2d = patch_fwd(
+        psi[0], scan_b, cfg.probe_shape, precision=jax.lax.Precision.HIGH
+    )  # (B, P, P)
     nearplane = patches2d[:, None, None] * unique_probe  # (B,1,M,P,P)
-    farplane = propagation_fwd(_pad_to_detector(nearplane, cfg))
+    farplane = propagation_fwd_fast(_pad_to_detector(nearplane, cfg))
     intensity = jnp.sum(
         jnp.square(jnp.abs(farplane)), axis=(1, 2)
     )  # (B, DET, DET)
@@ -159,7 +164,7 @@ def _lstsq_batch_math(
     chi_far = jnp.where(
         measured_pixels, update, farplane * (unmeasured_pixels_scaling - 1.0)
     )
-    chi = _crop_from_detector(propagation_adj(chi_far), cfg)  # (B,1,M,P,P)
+    chi = _crop_from_detector(propagation_adj_fast(chi_far), cfg)  # (B,1,M,P,P)
     chi = chi * bmask[:, None, None, None, None]
 
     out = {"costs": costs}

@@ -30,7 +30,7 @@ import tike_tpu.utils.transfer
 from tike_tpu.utils.pairs import Pair, pair_jit
 from tike_tpu.ops.objective import ELEMENTWISE, GRAD
 from tike_tpu.ops.patch import patch_adj, patch_fwd
-from tike_tpu.ops.propagation import fresnel_adj, propagation_adj
+from tike_tpu.ops.propagation import fresnel_adj, propagation_adj_fast
 from tike_tpu.ops.ptycho import (
     PtychoConfig,
     _crop_from_detector,
@@ -139,7 +139,7 @@ def _batch_gradients_math(
         farplane * (unmeasured_pixels_scaling - 1.0),
     )
 
-    diff = _crop_from_detector(propagation_adj(chi), cfg)  # (B, M, P, P)
+    diff = _crop_from_detector(propagation_adj_fast(chi), cfg)  # (B, M, P, P)
     diff = diff * bmask[:, None, None, None]
 
     # --- Backward slice loop (`rpie.py:448-474`) ---
@@ -153,7 +153,10 @@ def _batch_gradients_math(
         psi_num_slices.append(
             patch_adj(grad_psi, scan_b, (cfg.nz, cfg.n))
         )
-        patches = patch_fwd(psi[tt], scan_b, cfg.probe_shape)
+        patches = patch_fwd(
+            psi[tt], scan_b, cfg.probe_shape,
+            precision=jax.lax.Precision.HIGH,
+        )
         probe_num_slices.append(
             jnp.sum(jnp.conj(patches)[:, None] * diff, axis=0)
         )
@@ -168,7 +171,10 @@ def _batch_gradients_math(
     # --- Eigen weight update (`rpie.py:493-506`) ---
     eigen_delta = None
     if recover_probe and eigen_weights is not None:
-        patches0 = patch_fwd(psi[0], scan_b, cfg.probe_shape)[:, None]
+        patches0 = patch_fwd(
+            psi[0], scan_b, cfg.probe_shape,
+            precision=jax.lax.Precision.HIGH,
+        )[:, None]
         OP = patches0 * probe[0, :, 0:1, :, :]
         eigen_numerator = jnp.sum(
             jnp.real(jnp.conj(OP) * diff[:, 0:1]), axis=(-1, -2)
