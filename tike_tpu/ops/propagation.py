@@ -109,12 +109,16 @@ def propagation_adj_matmul(farplane: jax.Array) -> jax.Array:
     return matmul_fft2(farplane, inverse=True)
 
 
-# Solver-internal fast path: below this edge length the DFT-matmul runs on
-# the MXU measurably faster than the native FFT lowering (12% at 128² on
-# v5e, BENCH_TABLE.md). Accuracy is ~1e-5 relative — far below solver
-# convergence tolerances; parity-critical surfaces (simulate, the operator
-# API, cost oracles) keep the exact FFT.
-FAST_FFT_MAX_SIZE = 256
+# Solver-internal DFT-matmul path, opt-in via TIKE_MATMUL_FFT_MAX=<size>.
+# Round-2 microbenchmarks measured the matmul variant 12% faster at 128²,
+# but re-measured inside the production gradient program on the current
+# relay toolchain it is ~50x SLOWER at (1000, 128, 128) and can hang the
+# remote compiler — so the default is off (0). Accuracy when enabled is
+# ~1e-5 relative; parity-critical surfaces (simulate, the operator API,
+# cost oracles) always keep the exact FFT.
+import os as _os
+
+FAST_FFT_MAX_SIZE = int(_os.environ.get("TIKE_MATMUL_FFT_MAX", "0"))
 
 
 def propagation_fwd_fast(nearplane: jax.Array) -> jax.Array:
