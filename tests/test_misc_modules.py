@@ -72,6 +72,12 @@ def _load_reference_fresnel():
 class TestFresnelProbes:
     def test_single_probe_matches_reference(self):
         """Bit-level parity with the reference zone-plate probe model."""
+        import os
+
+        import pytest
+
+        if not os.path.isfile("/root/reference/src/tike/ptycho/fresnel.py"):
+            pytest.skip("reference source not mounted")
         from tike_tpu.ptycho.fresnel import single_probe
 
         ref = _load_reference_fresnel()
