@@ -277,9 +277,32 @@ def patch_adj(
             gid[:, None] == jnp.arange(g, dtype=jnp.int32)[None, :]
         ).astype(jnp.float32)
         tiles = jnp.einsum("ng,ncyx->gcyx", onehot, tiles)
-        gids = jnp.arange(g, dtype=jnp.int32)
-        cy = (gids // gx) * sub
-        cx = (gids % gx) * _LANE
+        # The merged tiles live on an exact (sub x 128) cell grid, so the
+        # sequential scan of read-modify-writes (169+ tiny steps whose
+        # per-step launch overhead dominated) is replaced by splitting each
+        # tile into cell-aligned chunks and doing ky*kx (typically 4) DENSE
+        # shifted adds over the whole cell grid — no scan, no scatter.
+        ky = -(-th // sub)
+        kx = -(-tw // _LANE)
+        tiles = jnp.pad(
+            tiles,
+            ((0, 0), (0, 0), (0, ky * sub - th), (0, kx * _LANE - tw)),
+        )
+        q = tiles.reshape(gy, gx, nch, ky, sub, kx, _LANE)
+        grid = jnp.zeros(
+            (gy + ky, gx + kx, nch, sub, _LANE), dtype=pf.dtype
+        )
+        for iy in range(ky):
+            for ix in range(kx):
+                grid = grid.at[iy : iy + gy, ix : ix + gx].add(
+                    q[:, :, :, iy, :, ix, :]
+                )
+        acc = grid.transpose(2, 0, 3, 1, 4).reshape(
+            nch, (gy + ky) * sub, (gx + kx) * _LANE
+        )
+        if images is not None:
+            acc = acc.at[:, :h, :w].add(_c2f(images))
+        return _f2c(acc[:, :h, :w], patches.dtype)
 
     if images is None:
         acc0 = jnp.zeros((nch, hp, wp), dtype=pf.dtype)

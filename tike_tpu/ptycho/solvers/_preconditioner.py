@@ -36,10 +36,15 @@ def _psi_precond_math(cfg: PtychoConfig, psi, scan, probe, mask=None):
     p = cfg.probe_shape
     w = jnp.ones(n, probe.real.dtype) if mask is None else mask
 
-    probe_amp = jnp.sum(probe[0, 0] * jnp.conj(probe[0, 0]), axis=0)  # (P, P)
+    # Real-valued throughout: |probe|^2 is real, so the patch scatter runs
+    # on ONE float channel instead of a complex pair (2x less MXU work),
+    # and the result needs no pair conversion at program boundaries.
+    probe_amp = jnp.sum(
+        (probe[0, 0] * jnp.conj(probe[0, 0])).real, axis=0
+    )  # (P, P) f32
     slices = [
         patch_adj(
-            probe_amp[None] * w[:, None, None].astype(probe.dtype),
+            probe_amp[None] * w[:, None, None].astype(probe_amp.dtype),
             scan,
             (cfg.nz, cfg.n),
         )
@@ -51,7 +56,9 @@ def _psi_precond_math(cfg: PtychoConfig, psi, scan, probe, mask=None):
         for i in range(1, cfg.nslices):
             patches = patch_fwd(psi[i - 1], scan, p)
             probe1 = fresnel_fwd(patches[:, None] * probe1, prop)
-            amp = jnp.sum(probe1 * jnp.conj(probe1), axis=1)  # (N, P, P)
+            amp = jnp.sum(
+                (probe1 * jnp.conj(probe1)).real, axis=1
+            )  # (N, P, P) f32
             slices.append(
                 patch_adj(
                     amp * w[:, None, None].astype(amp.dtype),
@@ -72,12 +79,14 @@ def _probe_precond_math(cfg: PtychoConfig, psi, scan, mask=None):
     )
     slices = []
     for i in range(cfg.nslices):
-        patches = patch_fwd(psi[i], scan, cfg.probe_shape)
+        patches = patch_fwd(
+            psi[i], scan, cfg.probe_shape,
+            precision=jax.lax.Precision.HIGH,
+        )
         slices.append(
             jnp.sum(
-                patches
-                * jnp.conj(patches)
-                * w[:, None, None].astype(patches.dtype),
+                (patches * jnp.conj(patches)).real
+                * w[:, None, None].astype(jnp.float32),
                 axis=0,
             )
         )

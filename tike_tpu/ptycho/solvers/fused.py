@@ -230,9 +230,9 @@ def _epoch_math(
             )
         return (psi_pre, probe_pre), None
 
-    psi_pre0 = jnp.zeros((cfg.nslices, cfg.nz, cfg.n), jnp.complex64)
+    psi_pre0 = jnp.zeros((cfg.nslices, cfg.nz, cfg.n), jnp.float32)
     probe_pre0 = jnp.zeros(
-        (cfg.nslices, cfg.probe_shape, cfg.probe_shape), jnp.complex64
+        (cfg.nslices, cfg.probe_shape, cfg.probe_shape), jnp.float32
     )
     (psi_pre, probe_pre), _ = jax.lax.scan(
         pre_body, (psi_pre0, probe_pre0), (batch_idx, batch_mask)

@@ -468,7 +468,7 @@ def lstsq_grad(
             exitwave_options.measured_pixels,
             object_options.preconditioner
             if object_options is not None
-            else jnp.ones((1, op.nz, op.n), jnp.complex64),
+            else jnp.ones((1, op.nz, op.n), jnp.float32),
             exitwave_options.step_length_start,
             exitwave_options.step_length_weight,
             exitwave_options.unmeasured_pixels_scaling,
