@@ -81,7 +81,7 @@ def _run(
 
 # The fast set pins one variant per solver; the remaining schedule/momentum
 # variants run with `-m slow`.
-_FAST = {("rpie", "plain"), ("lstsq", "positions")}
+_FAST = {("rpie", "plain")}
 _CASES = [
     pytest.param(
         algo_cls,
@@ -123,7 +123,7 @@ def test_fused_matches_per_epoch(algo_cls, variant):
 # Adaptive-moment configurations: compact -> momentum_checked (the traced
 # epoch-cost-trend decision), non-compact -> per-batch adam (rPIE) /
 # classical momentum (LSQML). One fast case per solver; the rest slow.
-_MOM_FAST = {("rpie", "checked")}
+_MOM_FAST = set()  # all moment variants run with -m slow
 _MOM_CASES = [
     pytest.param(
         algo_cls,
