@@ -334,6 +334,64 @@ def test_striped_measured_pixels_mask():
     assert costs[-1] < costs[0]
 
 
+@pytest.mark.slow
+def test_striped_multislice_rpie_converges():
+    """Striped mode with a two-slice object (rPIE multislice).
+
+    The striped windows carry all D slices; the Fresnel inter-slice
+    propagation runs per stripe like the replicated fused path.
+    """
+    rng = np.random.default_rng(0)
+    P, HW, N, D = 16, 128, 160, 2
+    yy, xx = np.mgrid[0:HW, 0:HW] / HW
+    psi = np.stack(
+        [
+            np.exp(1j * 0.4 * np.sin(5 * yy) * np.cos(3 * xx)),
+            np.exp(1j * 0.3 * np.cos(4 * yy * xx * 7)),
+        ]
+    ).astype(np.complex64)
+    probe = (tp.gaussian(P) * np.exp(1j * 0.1 * tp.gaussian(P)))[
+        None, None, None
+    ].astype(np.complex64)
+    scan = np.stack(
+        [rng.uniform(2, HW - P - 3, N), rng.uniform(2, HW - P - 3, N)], -1
+    ).astype(np.float32)
+    wavelength, fov, distance = 1.4e-10, (1e-6, 1e-6), 2e-8
+    data = tp.simulate(
+        P,
+        probe,
+        scan,
+        psi,
+        probe_wavelength=wavelength,
+        probe_FOV_lengths=fov,
+        multislice_propagation_distance=distance,
+    ).astype(np.float32)
+    params = tp.PtychoParameters(
+        probe=probe.copy(),
+        psi=np.full_like(psi, 0.9),
+        scan=scan.copy(),
+        algorithm_options=tp.RpieOptions(
+            num_batch=2, num_iter=6, batch_method="compact"
+        ),
+        object_options=tp.ObjectOptions(
+            multislice_propagation_distance=distance
+        ),
+        probe_options=tp.ProbeOptions(
+            probe_wavelength=wavelength,
+            probe_FOV_lengths=fov,
+            init_rescale_from_measurements=False,
+        ),
+    )
+    res = tp.reconstruct(
+        data, params, mesh=make_mesh(), object_sharding="striped"
+    )
+    costs = [float(np.mean(c)) for c in res.algorithm_options.costs]
+    assert np.all(np.isfinite(costs)), costs
+    assert costs[-1] < 0.5 * costs[0], costs
+    assert res.psi.shape == (D, HW, HW)
+    assert np.all(np.isfinite(res.psi))
+
+
 def test_striped_empty_stripes_stay_finite():
     """Stripes with no scan positions must not poison the run with NaNs.
 

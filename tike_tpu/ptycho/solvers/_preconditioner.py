@@ -47,6 +47,7 @@ def _psi_precond_math(cfg: PtychoConfig, psi, scan, probe, mask=None):
             probe_amp[None] * w[:, None, None].astype(probe_amp.dtype),
             scan,
             (cfg.nz, cfg.n),
+            precision=jax.lax.Precision.HIGH,
         )
     ]
 
@@ -64,6 +65,7 @@ def _psi_precond_math(cfg: PtychoConfig, psi, scan, probe, mask=None):
                     amp * w[:, None, None].astype(amp.dtype),
                     scan,
                     (cfg.nz, cfg.n),
+                    precision=jax.lax.Precision.HIGH,
                 )
             )
 

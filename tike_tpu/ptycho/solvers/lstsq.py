@@ -175,6 +175,7 @@ def _lstsq_batch_math(
         object_upd_sum = patch_adj(
             jnp.sum(object_update_proj[:, 0], axis=1), scan_b,
             (cfg.nz, cfg.n),
+            precision=jax.lax.Precision.HIGH,
         )[None]
         out["object_upd_sum"] = object_upd_sum
     else:

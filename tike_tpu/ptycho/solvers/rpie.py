@@ -151,7 +151,10 @@ def _batch_gradients_math(
             jnp.sum(jnp.conj(slice_probes[tt]) * diff, axis=1) / nmodes
         )
         psi_num_slices.append(
-            patch_adj(grad_psi, scan_b, (cfg.nz, cfg.n))
+            patch_adj(
+                grad_psi, scan_b, (cfg.nz, cfg.n),
+                precision=jax.lax.Precision.HIGH,
+            )
         )
         patches = patch_fwd(
             psi[tt], scan_b, cfg.probe_shape,
