@@ -185,6 +185,7 @@ class StripedState:
     step_length_weight: float
     unmeasured_pixels_scaling: float
     epochs_done: int = 0
+    last_powers: typing.Any = None  # (E, modes) per-epoch probe mode power
     _programs: dict = dataclasses.field(default_factory=dict)
     _rng: np.random.Generator = dataclasses.field(
         default_factory=lambda: np.random.default_rng(0)
@@ -789,6 +790,8 @@ def striped_iterate(state: StripedState, n_epochs: int) -> typing.List[float]:
         state.eigen_w = eigen_w
         state.eigen_p = eigen_p
     state.epochs_done += n_epochs
+    # Probe mode power history (the replicated path's popts.power).
+    state.last_powers = to_host(pwr)  # (E, modes)
     # Globally-weighted epoch costs come out of the program replicated
     # (psum-weighted inside _epoch_math), so this also works when the
     # stripes span multiple processes.

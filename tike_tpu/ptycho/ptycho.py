@@ -897,9 +897,14 @@ class Reconstruction:
                 start = time.perf_counter()
                 costs = striped.striped_iterate(self._striped, step)
                 elapsed = time.perf_counter() - start
-                for cost in costs:
+                popts = self.parameters.probe_options
+                for e, cost in enumerate(costs):
                     algo.costs.append([cost])
                     algo.times.append(elapsed / step)
+                    if popts is not None:
+                        popts.power.append(
+                            self._striped.last_powers[e]
+                        )
                 logger.info("striped cost is %+1.3e", costs[-1])
                 done += step
                 if is_converged(algo):
