@@ -23,6 +23,7 @@ def scenarios():
         ("striped_rpie", "striped", "rpie", {}),
         ("striped_lstsq_opr_pos", "striped", "lstsq_grad",
          {"eigen": True, "positions": True}),
+        ("lamino_cgrad_theta", "lamino", "cgrad", {}),
     ]
 
 
@@ -52,6 +53,9 @@ def build_problem(seed=11, h=128, p=16, n=120, nmodes=2):
 def run_scenario(name, sharding, algo, feat, mesh, dist):
     import tike_tpu.ptycho as tp
     from tike_tpu.parallel.striped import striped_local_indices
+
+    if sharding == "lamino":
+        return run_lamino(name, mesh)
 
     data, scan, probe, psi_shape = build_problem()
     n = scan.shape[0]
@@ -107,6 +111,50 @@ def run_scenario(name, sharding, algo, feat, mesh, dist):
     return {
         f"{name}_psi": np.asarray(result.psi),
         f"{name}_probe": np.asarray(result.probe),
+        f"{name}_costs": costs,
+    }
+
+
+def run_lamino(name, mesh):
+    """Theta-sharded USFFT CG across 2 processes (`MPIio_lamino` analog).
+
+    Each process loads its own contiguous theta chunk of the projection
+    data; the global theta axis is sharded over the 4-device mesh.
+    """
+    import jax
+    import tike_tpu.lamino
+
+    n, ntheta = 32, 16
+    rng = np.random.default_rng(0)
+    obj = (
+        rng.standard_normal((n, n, n)) + 1j * rng.standard_normal((n, n, n))
+    ).astype(np.complex64) * np.exp(
+        -((np.mgrid[0:n, 0:n, 0:n] - n / 2) ** 2).sum(0) / (n / 3) ** 2
+    )
+    theta = np.linspace(0, np.pi, ntheta, endpoint=False).astype(np.float32)
+    tilt = np.pi / 3
+    data = tike_tpu.lamino.simulate(obj, theta, tilt, eps=1e-6, upsample=2)
+    # This process's contiguous theta chunk.
+    nproc = jax.process_count()
+    chunk = ntheta // nproc
+    pid = jax.process_index()
+    sel = slice(pid * chunk, (pid + 1) * chunk)
+    result = tike_tpu.lamino.reconstruct(
+        data[sel],
+        theta[sel],
+        tilt,
+        algorithm="cgrad",
+        num_iter=4,
+        eps=1e-6,
+        upsample=2,
+        mesh=mesh,
+    )
+    costs = np.asarray(result["cost"], np.float64)
+    assert np.all(np.isfinite(costs)), (name, costs)
+    assert costs[-1] < costs[0], (name, costs)
+    return {
+        f"{name}_psi": np.asarray(result["obj"]),
+        f"{name}_probe": np.zeros(1, np.float32),  # n/a for lamino
         f"{name}_costs": costs,
     }
 
