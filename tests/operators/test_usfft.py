@@ -109,6 +109,26 @@ def test_kb_fewer_taps_than_gaussian():
         assert (2 * m_kb) ** 3 <= (2 * m_gauss) ** 3 / 4, (m_kb, m_gauss)
 
 
+def test_kb_beats_gaussian_at_critical_sampling():
+    """At upsample=1 (the reference Lamino default) the minimal 2-point KB
+    window is BOTH cheaper (8 taps vs 64) and more accurate than the
+    reference's Gaussian — pins the measured 0.47-vs-0.94 relerr claim
+    (aliasing-limited regime; both are inaccurate in absolute terms)."""
+    f, x = _setup()
+    want = _direct_eq2us(f, x, N_GRID)
+    scale = np.abs(want).max()
+    kb = np.asarray(eq2us(jnp.asarray(f), jnp.asarray(x), N_GRID, 1e-3, 1, "kb"))
+    ga = np.asarray(
+        eq2us(jnp.asarray(f), jnp.asarray(x), N_GRID, 1e-3, 1, "gaussian")
+    )
+    err_kb = np.abs(kb - want).max() / scale
+    err_ga = np.abs(ga - want).max() / scale
+    assert err_kb < err_ga, (err_kb, err_ga)
+    _, _, m_kb, _ = kb_parameters(N_GRID, 1e-3, 1)
+    _, _, _, m_ga = usfft_parameters(N_GRID, 1e-3, 1)
+    assert (2 * m_kb) ** 3 < (2 * m_ga) ** 3, (m_kb, m_ga)
+
+
 def test_gather_scatter_adjoint():
     f, x = _setup()
     upsampled, pad, mu, m = usfft_parameters(N_GRID, 1e-6, 2)
