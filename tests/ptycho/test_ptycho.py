@@ -115,6 +115,77 @@ class TestPtychoRecon(ReconstructTwice, unittest.TestCase):
         )
         self.template_consistent_algorithm(data=self.data, params=params)
 
+    @pytest.mark.slow
+    def test_consistent_rpie_poisson_dominant(self):
+        """rPIE + poisson + dominant-mode step lengths
+        (`test_ptycho.py:490`)."""
+        params = self._params(
+            tp.RpieOptions(num_batch=5, num_iter=NUM_EPOCH),
+            probe_options=tp.ProbeOptions(),
+            exitwave_options=tp.ExitWaveOptions(
+                measured_pixels=np.ones(
+                    self.probe.shape[-2:], dtype=np.bool_
+                ),
+                noise_model="poisson",
+                step_length_usemodes="dominant_mode",
+            ),
+        )
+        self.template_consistent_algorithm(data=self.data, params=params)
+
+    @pytest.mark.slow
+    def test_consistent_lstsq_poisson_allmodes(self):
+        """LSQML + poisson + all-modes step lengths
+        (`test_ptycho.py:270`)."""
+        params = self._params(
+            tp.LstsqOptions(num_batch=5, num_iter=NUM_EPOCH),
+            probe_options=tp.ProbeOptions(),
+            exitwave_options=tp.ExitWaveOptions(
+                measured_pixels=np.ones(
+                    self.probe.shape[-2:], dtype=np.bool_
+                ),
+                noise_model="poisson",
+                step_length_usemodes="all_modes",
+            ),
+        )
+        self.template_consistent_algorithm(data=self.data, params=params)
+
+    @pytest.mark.slow
+    def test_consistent_lstsq_masked_detector(self):
+        """LSQML with unmeasured detector regions (`test_ptycho.py:324`)."""
+        mask = np.ones(self.probe.shape[-2:], dtype=np.bool_)
+        c = mask.shape[0] // 2
+        mask[c - 3 : c + 3, c - 3 : c + 3] = False
+        params = self._params(
+            tp.LstsqOptions(num_batch=5, num_iter=NUM_EPOCH),
+            probe_options=tp.ProbeOptions(),
+            exitwave_options=tp.ExitWaveOptions(
+                measured_pixels=mask,
+                noise_model="gaussian",
+                unmeasured_pixels_scaling=0.95,
+            ),
+        )
+        self.template_consistent_algorithm(data=self.data, params=params)
+
+    @pytest.mark.slow
+    def test_consistent_lstsq_no_probe(self):
+        """LSQML with probe recovery off (`test_ptycho.py:390`)."""
+        params = self._params(
+            tp.LstsqOptions(num_batch=5, num_iter=NUM_EPOCH),
+            probe_options=None,
+        )
+        self.template_consistent_algorithm(data=self.data, params=params)
+
+    @pytest.mark.slow
+    def test_consistent_rpie_compact_no_probe(self):
+        """Compact rPIE with probe recovery off (`test_ptycho.py:651`)."""
+        params = self._params(
+            tp.RpieOptions(
+                num_batch=5, num_iter=NUM_EPOCH, batch_method="compact"
+            ),
+            probe_options=None,
+        )
+        self.template_consistent_algorithm(data=self.data, params=params)
+
     def _variable_probe_kwargs(self):
         """One eigen component + per-position weights (OPR), initialized
         like the reference (`probe.py:660-723`)."""
