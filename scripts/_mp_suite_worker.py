@@ -24,6 +24,7 @@ def scenarios():
         ("striped_lstsq_opr_pos", "striped", "lstsq_grad",
          {"eigen": True, "positions": True}),
         ("lamino_cgrad_theta", "lamino", "cgrad", {}),
+        ("lamino_bucket_volsplit", "bucket", "bucket", {}),
     ]
 
 
@@ -56,6 +57,8 @@ def run_scenario(name, sharding, algo, feat, mesh, dist):
 
     if sharding == "lamino":
         return run_lamino(name, mesh)
+    if sharding == "bucket":
+        return run_bucket(name, mesh)
 
     data, scan, probe, psi_shape = build_problem()
     n = scan.shape[0]
@@ -155,6 +158,40 @@ def run_lamino(name, mesh):
     return {
         f"{name}_psi": np.asarray(result["obj"]),
         f"{name}_probe": np.zeros(1, np.float32),  # n/a for lamino
+        f"{name}_costs": costs,
+    }
+
+
+def run_bucket(name, mesh):
+    """Voxel-grid split across 2 processes (the reference's MPI-rank
+    `_make_grid` split, `operators/cupy/bucket.py:267-274`)."""
+    import tike_tpu.lamino.bucket as bucket
+
+    n, ntheta = 16, 8
+    rng = np.random.default_rng(0)
+    obj = (
+        rng.standard_normal((n, n, n)) + 1j * rng.standard_normal((n, n, n))
+    ).astype(np.complex64) * np.exp(
+        -((np.mgrid[0:n, 0:n, 0:n] - n / 2) ** 2).sum(0) / (n / 3) ** 2
+    )
+    theta = np.linspace(0, np.pi, ntheta, endpoint=False).astype(np.float32)
+    tilt = np.pi / 2
+    data = bucket.simulate(obj, theta, tilt, eps=1.0)
+    result = bucket.reconstruct(
+        data,
+        theta,
+        tilt,
+        algorithm="bucket",
+        num_iter=4,
+        eps=1.0,
+        mesh=mesh,
+    )
+    costs = np.asarray(result["cost"], np.float64)
+    assert np.all(np.isfinite(costs)), (name, costs)
+    assert costs[-1] < costs[0], (name, costs)
+    return {
+        f"{name}_psi": np.asarray(result["obj"]),
+        f"{name}_probe": np.zeros(1, np.float32),
         f"{name}_costs": costs,
     }
 

@@ -91,11 +91,36 @@ def reconstruct(
             )
         vol_sharding = NamedSharding(mesh, P(axis))
         rep = NamedSharding(mesh, P())
-        grid = jax.device_put(jnp.asarray(make_grid_full(n)), vol_sharding)
-        data_d = jax.device_put(data_d, rep)
-        theta_d = jax.device_put(theta_d, rep)
-        obj = jax.device_put(jnp.asarray(obj, dtype=jnp.complex64),
-                             vol_sharding)
+        if jax.process_count() > 1:
+            # Multi-process: the voxel grid spans all processes (the
+            # reference's MPI-rank grid split, `bucket.py:267-274`); every
+            # process holds full copies of the small data/theta, and each
+            # contributes its own x-slab of grid/obj.
+            def put_vol(host):
+                host = np.asarray(host)
+                return jax.make_array_from_callback(
+                    host.shape, vol_sharding, lambda idx: host[idx]
+                )
+
+            def put_rep(host):
+                host = np.asarray(host)
+                return jax.make_array_from_callback(
+                    host.shape, rep, lambda idx: host[idx]
+                )
+
+            grid = put_vol(make_grid_full(n))
+            data_d = put_rep(np.asarray(data, np.complex64))
+            theta_d = put_rep(np.asarray(theta, np.float32))
+            obj = put_vol(np.asarray(obj, np.complex64))
+        else:
+            grid = jax.device_put(
+                jnp.asarray(make_grid_full(n)), vol_sharding
+            )
+            data_d = jax.device_put(data_d, rep)
+            theta_d = jax.device_put(theta_d, rep)
+            obj = jax.device_put(
+                jnp.asarray(obj, dtype=jnp.complex64), vol_sharding
+            )
         fwd_op_sharded, adj_op_sharded = sharded_bucket_ops(cfg, mesh, axis)
         kwargs.setdefault(
             "fwd_op", lambda u: fwd_op_sharded(u, theta_d, grid)
@@ -130,7 +155,22 @@ def reconstruct(
     result["cost"] = np.asarray(costs)
     from tike_tpu.utils.pairs import download
 
+    def fetch(v):
+        # Volume-sharded arrays span processes in a multi-host run; gather
+        # the non-addressable shards (the reference's rank-0 MPI gather).
+        if (
+            jax.process_count() > 1
+            and hasattr(v, "is_fully_addressable")
+            and not v.is_fully_addressable
+        ):
+            from jax.experimental import multihost_utils
+
+            return np.asarray(
+                multihost_utils.process_allgather(v, tiled=True)
+            )
+        return download(v)
+
     return {
-        k: download(v) if not np.isscalar(v) and np.ndim(v) > 0 else v
+        k: fetch(v) if not np.isscalar(v) and np.ndim(v) > 0 else v
         for k, v in result.items()
     }
