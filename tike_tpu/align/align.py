@@ -10,7 +10,8 @@ import logging
 import jax.numpy as jnp
 import numpy as np
 
-from tike_tpu.ops.alignment import alignment_fwd, alignment_inv
+from tike_tpu.ops.alignment import alignment_fwd_p, alignment_inv_p
+from tike_tpu.utils.pairs import download, upload
 from tike_tpu.utils.transfer import to_host
 from . import solvers
 
@@ -32,19 +33,19 @@ def _to_device(kwargs):
 def simulate(original, **kwargs):
     """Return original transformed by the alignment operator."""
     kwargs = _to_device(kwargs)
-    unaligned = alignment_fwd(
-        jnp.asarray(original, dtype=jnp.complex64), **kwargs
+    unaligned = alignment_fwd_p(
+        upload(np.asarray(original, np.complex64)), **kwargs
     )
-    return to_host(unaligned)
+    return download(unaligned)
 
 
 def invert(original, **kwargs):
     """Return original passed through the inverse alignment operator."""
     kwargs = _to_device(kwargs)
-    aligned = alignment_inv(
-        jnp.asarray(original, dtype=jnp.complex64), **kwargs
+    aligned = alignment_inv_p(
+        upload(np.asarray(original, np.complex64)), **kwargs
     )
-    return to_host(aligned)
+    return download(aligned)
 
 
 def reconstruct(original, unaligned, algorithm, num_iter=1, rtol=-1, **kwargs):

@@ -10,6 +10,8 @@ matmuls, which is exactly what the MXU wants.
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -57,9 +59,37 @@ def cross_correlation(
     """Efficient subpixel translation alignment by cross-correlation.
 
     original/unaligned (N, H, W) complex. Returns {'shift': (N, 2), 'cost'}.
+
+    The numeric core runs as one pair-safe program (complex inputs enter
+    as float Pairs on relay backends; only the real shifts come back).
     """
-    original = jnp.asarray(original)
-    unaligned = jnp.asarray(unaligned)
+    from tike_tpu.utils.pairs import upload
+    from tike_tpu.utils.transfer import to_host
+
+    shifts = _cross_correlation_program(
+        upload(np.asarray(original, np.complex64)),
+        upload(np.asarray(unaligned, np.complex64)),
+        upsample_factor=int(upsample_factor),
+        space=str(space).lower(),
+        reg_weight=float(reg_weight),
+    )
+    return {"shift": to_host(shifts).astype(np.float32), "cost": -1}
+
+
+from tike_tpu.utils.pairs import pair_jit as _pair_jit  # noqa: E402
+
+
+@functools.partial(
+    _pair_jit, static_argnames=("upsample_factor", "space", "reg_weight")
+)
+def _cross_correlation_program(
+    original,
+    unaligned,
+    *,
+    upsample_factor: int,
+    space: str,
+    reg_weight: float,
+):
     if space.lower() == "fourier":
         src_freq = unaligned
         target_freq = original
@@ -109,4 +139,4 @@ def cross_correlation(
             jnp.unravel_index(maxima, A.shape[-2:]), axis=-1
         ).astype(jnp.float32) - dftshift
         shifts = shifts + maxima / upsample_factor
-    return {"shift": np.asarray(shifts, dtype=np.float32), "cost": -1}
+    return shifts

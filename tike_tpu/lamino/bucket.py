@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tike_tpu.ops.bucket import BucketConfig, bucket_fwd, make_grid
+from tike_tpu.ops.bucket import BucketConfig, bucket_fwd_p, make_grid
 from . import solvers
 
 __all__ = ["reconstruct", "simulate"]
@@ -29,15 +29,15 @@ def simulate(obj, theta, tilt, eps=1.0, **kwargs):
     n = obj.shape[-1]
     cfg = BucketConfig.from_eps(n=n, tilt=float(tilt), eps=eps)
     grid = make_grid(n)
-    data = bucket_fwd(
+    from tike_tpu.utils.pairs import download, upload
+
+    data = bucket_fwd_p(
         cfg,
-        jnp.asarray(obj, dtype=jnp.complex64),
+        upload(np.asarray(obj, np.complex64)),
         jnp.asarray(theta, dtype=jnp.float32),
         jnp.asarray(grid),
     )
-    from tike_tpu.utils.transfer import to_host
-
-    return to_host(data)
+    return download(data)
 
 
 def reconstruct(
@@ -71,8 +71,12 @@ def reconstruct(
             "The '{}' algorithm is not an available.".format(algorithm)
         )
     cfg = BucketConfig.from_eps(n=n, tilt=float(tilt), eps=eps)
-    data_d = jnp.asarray(data, dtype=jnp.complex64)
+    from tike_tpu.utils.pairs import upload
+
+    # Pair-safe boundaries on relay backends (no complex program IO).
+    data_d = upload(np.asarray(data, np.complex64))
     theta_d = jnp.asarray(theta, dtype=jnp.float32)
+    obj_d = upload(np.asarray(obj, np.complex64))
 
     if mesh is None and obj_split > 1:
         from tike_tpu.parallel import make_mesh
@@ -111,22 +115,37 @@ def reconstruct(
             grid = put_vol(make_grid_full(n))
             data_d = put_rep(np.asarray(data, np.complex64))
             theta_d = put_rep(np.asarray(theta, np.float32))
-            obj = put_vol(np.asarray(obj, np.complex64))
+            obj_d = put_vol(np.asarray(obj, np.complex64))
         else:
+            from tike_tpu.utils.pairs import Pair
+
             grid = jax.device_put(
                 jnp.asarray(make_grid_full(n)), vol_sharding
             )
-            data_d = jax.device_put(data_d, rep)
+
+            def put(x, sh):
+                if isinstance(x, Pair):
+                    return Pair(jax.device_put(x.data, sh))
+                return jax.device_put(x, sh)
+
+            data_d = put(data_d, rep)
             theta_d = jax.device_put(theta_d, rep)
-            obj = jax.device_put(
-                jnp.asarray(obj, dtype=jnp.complex64), vol_sharding
-            )
-        fwd_op_sharded, adj_op_sharded = sharded_bucket_ops(cfg, mesh, axis)
+            obj_d = put(obj_d, vol_sharding)
+        (
+            fwd_op_sharded,
+            adj_op_sharded,
+            cost_sm,
+            grad_sm,
+            step_sm,
+        ) = sharded_bucket_ops(cfg, mesh, axis)
         kwargs.setdefault(
-            "fwd_op", lambda u: fwd_op_sharded(u, theta_d, grid)
+            "cost_op", lambda d_, u, t_: cost_sm(d_, u, t_, grid)
         )
         kwargs.setdefault(
-            "adj_op", lambda d: adj_op_sharded(d, theta_d, grid)
+            "grad_op", lambda d_, u, t_: grad_sm(d_, u, t_, grid)
+        )
+        kwargs.setdefault(
+            "step_scale_op", lambda u, t_: step_sm(u, t_, grid)
         )
     else:
         grid = jnp.asarray(make_grid(n))
@@ -135,7 +154,7 @@ def reconstruct(
         "{} on {:,d} by {:,d} by {:,d} volume for {:,d} "
         "iterations.".format(algorithm, *obj.shape, num_iter)
     )
-    result = {"obj": jnp.asarray(obj, dtype=jnp.complex64)}
+    result = {"obj": obj_d}
     costs = []
     for i in range(num_iter):
         kwargs.update(result)

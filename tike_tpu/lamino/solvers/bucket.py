@@ -4,23 +4,26 @@ TPU-native equivalent of `/root/reference/src/tike/lamino/solvers/bucket.py`.
 The reference's device-group reduction structure (obj_split) collapses into
 sharded arrays: sharding the voxel grid over a mesh axis shards the volume,
 and XLA reduces the projections.
+
+All cost/gradient/step-scale evaluations are single pair-safe programs
+(`tike_tpu.utils.pairs`): on relay backends no complex array crosses a
+program boundary; only real scalars are downloaded between CG steps.
 """
 
 from __future__ import annotations
 
 import logging
 
-import jax.numpy as jnp
+import numpy as np
 
-import tike_tpu.linalg
 import tike_tpu.opt
 from tike_tpu.ops.bucket import (
     BucketConfig,
-    bucket_adj,
-    bucket_cost,
-    bucket_fwd,
-    bucket_grad,
+    bucket_cost_program,
+    bucket_grad_program,
+    bucket_step_scale,
 )
+from tike_tpu.utils.pairs import pair_jit
 
 logger = logging.getLogger(__name__)
 
@@ -33,60 +36,72 @@ def bucket(
     grid,
     cg_iter=4,
     step_length=1,
-    fwd_op=None,
-    adj_op=None,
+    cost_op=None,
+    grad_op=None,
+    step_scale_op=None,
     **kwargs,
 ):
     """One outer CG iteration for the Bucket laminography problem.
 
-    ``fwd_op``/``adj_op`` default to the single-device operators; the
-    volume-model-parallel driver injects the shard_map pair from
-    ``tike_tpu.ops.bucket.sharded_bucket_ops`` (the reference's obj_split
-    path, `lamino/solvers/bucket.py:41-172`).
+    ``cost_op``/``grad_op``/``step_scale_op`` default to the single-device
+    pair-safe programs; the volume-model-parallel driver injects the
+    shard_map triple from ``tike_tpu.ops.bucket.sharded_bucket_ops`` (the
+    reference's obj_split path, `lamino/solvers/bucket.py:41-172`).
     """
     nz = obj.shape[0]
 
-    if fwd_op is None:
+    if cost_op is None:
 
-        def fwd_op(u):
-            return bucket_fwd(cfg, u, theta, grid)
+        def cost_op(data_, u, theta_):
+            return bucket_cost_program(cfg, data_, u, theta_, grid)
 
-    if adj_op is None:
+    if grad_op is None:
 
-        def adj_op(d):
-            return bucket_adj(cfg, d, theta, grid)
+        def grad_op(data_, u, theta_):
+            return bucket_grad_program(cfg, data_, u, theta_, grid)
 
-    fwd_data = fwd_op(obj)
+    if step_scale_op is None:
+
+        def step_scale_op(u, theta_):
+            return bucket_step_scale(cfg, u, theta_, grid)
+
     if step_length == 1:
         from tike_tpu.utils.transfer import scalar as _scalar
-        import numpy as _np
 
-        s = _scalar(
-            2
-            * tike_tpu.linalg.norm(adj_op(fwd_data))
-            / (tike_tpu.linalg.norm(obj) + 1e-32),
-            default=float("nan"),
-        )
-        step_length = s if _np.isfinite(s) and s > 0 else 1.0
+        s = _scalar(step_scale_op(obj, theta), default=float("nan"))
+        step_length = s if np.isfinite(s) and s > 0 else 1.0
 
     def cost_function(u):
         from tike_tpu.utils.transfer import scalar
 
-        return scalar(bucket_cost(data, fwd_op(u)))
+        return scalar(cost_op(data, u, theta))
 
     def grad(u):
-        ntheta = data.shape[-3]
-        return (
-            adj_op(fwd_op(u) - data) / (ntheta * cfg.n**3)
-        ).reshape(u.shape)
+        g = grad_op(data, u, theta)
+        return _reshape_like(g, obj)
 
     obj, cost = tike_tpu.opt.conjugate_gradient(
         None,
         x=obj,
         cost_function=cost_function,
         grad=grad,
+        direction_dy=pair_jit(tike_tpu.opt.direction_dy),
         num_iter=cg_iter,
         step_length=step_length,
     )
     logger.info("%10s cost is %+12.5e", "object", cost)
     return {"obj": obj, "cost": cost, "step_length": step_length}
+
+
+def _reshape_like(g, obj):
+    """Reshape a (flat or shaped) gradient to obj's shape, Pair-aware."""
+    from tike_tpu.utils.pairs import Pair
+
+    if isinstance(g, Pair):
+        target = obj.data.shape if isinstance(obj, Pair) else (*obj.shape, 2)
+        if g.data.shape != target:
+            return Pair(g.data.reshape(target))
+        return g
+    if g.shape != obj.shape:
+        return g.reshape(obj.shape)
+    return g

@@ -84,3 +84,19 @@ def alignment_inv(
         ),
         unpadded_shape=unpadded_shape,
     )
+
+
+# Pair-safe program boundaries (tike_tpu.utils.pairs): on relay backends no
+# complex array may cross a program boundary, so the driver-facing variants
+# run the whole pad->shift->flow->rotate composition as ONE program.
+from tike_tpu.utils.pairs import pair_jit as _pair_jit  # noqa: E402
+
+alignment_fwd_p = _pair_jit(
+    alignment_fwd, static_argnames=("padded_shape", "unpadded_shape")
+)
+alignment_adj_p = _pair_jit(
+    alignment_adj, static_argnames=("padded_shape", "unpadded_shape")
+)
+alignment_inv_p = _pair_jit(
+    alignment_inv, static_argnames=("padded_shape", "unpadded_shape")
+)

@@ -174,27 +174,48 @@ def sharded_bucket_ops(cfg: BucketConfig, mesh, axis: str):
     # its carry with an unvarying zeros array, which jax's varying-axis
     # tracking rejects inside shard_map even though the computation is
     # correct (each device accumulates only its own voxels).
-    fwd = jax.jit(
-        jax.shard_map(
-            lambda u, theta, grid4: jax.lax.psum(
-                _fwd_local(u, theta, grid4), axis
-            ),
-            mesh=mesh,
-            in_specs=(P(axis), P(), P(axis)),
-            out_specs=P(),
-            check_vma=False,
-        )
+    fwd_sm = jax.shard_map(
+        lambda u, theta, grid4: jax.lax.psum(
+            _fwd_local(u, theta, grid4), axis
+        ),
+        mesh=mesh,
+        in_specs=(P(axis), P(), P(axis)),
+        out_specs=P(),
+        check_vma=False,
     )
-    adj = jax.jit(
-        jax.shard_map(
-            _adj_local,
-            mesh=mesh,
-            in_specs=(P(), P(), P(axis)),
-            out_specs=P(axis),
-            check_vma=False,
-        )
+    adj_sm = jax.shard_map(
+        _adj_local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
     )
-    return fwd, adj
+    # Pair-safe boundaries: on relay backends no complex array may cross a
+    # program boundary, so the public callables are pair_jit programs (the
+    # shard_map'ed bodies run on complex internally).
+    from tike_tpu.utils.pairs import pair_jit as _pair_jit
+
+    fwd = _pair_jit(fwd_sm)
+    adj = _pair_jit(adj_sm)
+
+    @_pair_jit
+    def cost_op(data, u, theta, grid4):
+        return bucket_cost(data, fwd_sm(u, theta, grid4))
+
+    @_pair_jit
+    def grad_op(data, u, theta, grid4):
+        fd = fwd_sm(u, theta, grid4)
+        g = adj_sm(fd - data, theta, grid4)
+        return g / (data.shape[-3] * cfg.n**3)
+
+    @_pair_jit
+    def step_scale_op(u, theta, grid4):
+        import tike_tpu.linalg as _la
+
+        back = adj_sm(fwd_sm(u, theta, grid4), theta, grid4)
+        return 2 * _la.norm(back) / (_la.norm(u) + 1e-32)
+
+    return fwd, adj, cost_op, grad_op, step_scale_op
 
 
 def bucket_cost(data, fwd_data):
@@ -208,3 +229,37 @@ def bucket_grad(cfg: BucketConfig, data, theta, fwd_data, grid):
     """Least-squares gradient (`bucket.py:256-265`)."""
     out = bucket_adj(cfg, fwd_data - data, theta, grid)
     return out / (data.shape[-3] * cfg.n**3)
+
+
+# ---------------------------------------------------------------------------
+# Pair-safe single-device program surface (no complex program boundaries on
+# relay backends; see tike_tpu.utils.pairs). The solver composes cost/grad/
+# step-scale as ONE program each so intermediates never cross a boundary.
+# ---------------------------------------------------------------------------
+from tike_tpu.utils.pairs import pair_jit as _pair_jit  # noqa: E402
+
+bucket_fwd_p = _pair_jit(bucket_fwd, static_argnames=("cfg",))
+bucket_adj_p = _pair_jit(bucket_adj, static_argnames=("cfg",))
+
+
+@functools.partial(_pair_jit, static_argnames=("cfg",))
+def bucket_cost_program(cfg: BucketConfig, data, u, theta, grid):
+    """cost(data, fwd(u)) as one pair-safe program."""
+    return bucket_cost(data, bucket_fwd(cfg, u, theta, grid))
+
+
+@functools.partial(_pair_jit, static_argnames=("cfg",))
+def bucket_grad_program(cfg: BucketConfig, data, u, theta, grid):
+    """Least-squares gradient of the bucket model, one program."""
+    fwd_data = bucket_fwd(cfg, u, theta, grid)
+    out = bucket_adj(cfg, fwd_data - data, theta, grid)
+    return out / (data.shape[-3] * cfg.n**3)
+
+
+@functools.partial(_pair_jit, static_argnames=("cfg",))
+def bucket_step_scale(cfg: BucketConfig, u, theta, grid):
+    """CG step-length scale 2|A*A u| / |u| as one program."""
+    import tike_tpu.linalg as _la
+
+    back = bucket_adj(cfg, bucket_fwd(cfg, u, theta, grid), theta, grid)
+    return 2 * _la.norm(back) / (_la.norm(u) + 1e-32)
