@@ -163,6 +163,39 @@ class ProbeOptions:
         return self._clone()
 
 
+def _host_safe(static_argnames=()):
+    """Make a probe utility callable standalone on relay backends.
+
+    These functions run unchanged inside jitted programs (their
+    ``jnp.asarray`` is a no-op on tracers). Called standalone with a host
+    (numpy) complex array, a direct upload would cross the relay's
+    complex-free program boundary — so host inputs route through a
+    pair_jit program and come back as numpy.
+    """
+    import functools
+
+    from tike_tpu.utils.pairs import download, pair_jit, upload
+
+    def deco(fn):
+        prog = pair_jit(fn, static_argnames=static_argnames)
+
+        @functools.wraps(fn)
+        def wrapper(probe, *args, **kwargs):
+            if isinstance(probe, np.ndarray):
+                out = prog(upload(probe), *args, **kwargs)
+                return jax.tree_util.tree_map(
+                    download,
+                    out,
+                    is_leaf=lambda v: hasattr(v, "shape"),
+                )
+            return fn(probe, *args, **kwargs)
+
+        wrapper.__wrapped__ = fn
+        return wrapper
+
+    return deco
+
+
 def get_varying_probe(shared_probe, eigen_probe=None, weights=None):
     """Combine shared and eigen probes with weights into per-position probes.
 
@@ -278,6 +311,7 @@ def update_eigen_probe(
     return eigen_probe, weights
 
 
+@_host_safe(())
 def adjust_probe_power(probe, power=None):
     """Rescale probe modes to the given relative power (default 1/N)."""
     probe = jnp.asarray(probe)
@@ -458,6 +492,11 @@ def orthogonalize_eig(x):
     `probe.py:726-770`. One jitted program; the power vector is the only
     host transfer.
     """
+    if isinstance(x, np.ndarray):
+        from tike_tpu.utils.pairs import download, pair_jit, upload
+
+        result, pwr = pair_jit(_orthogonalize_eig_body)(upload(x))
+        return download(result), to_host(pwr)
     result, pwr = _orthogonalize_eig_program(jnp.asarray(x))
     return result, to_host(pwr)
 
@@ -469,6 +508,10 @@ def _power_program(probe):
 
 def power(probe):
     """Return the power of each probe mode (`probe.py:773-781`)."""
+    if isinstance(probe, np.ndarray):
+        from tike_tpu.utils.pairs import pair_jit, upload
+
+        return to_host(pair_jit(_power_program.__wrapped__)(upload(probe)))
     return to_host(_power_program(jnp.asarray(probe)))
 
 
@@ -486,6 +529,7 @@ def gaussian(size, rin=0.8, rout=1.0):
     return img
 
 
+@_host_safe(())
 def constrain_center_peak(probe):
     """Shift the probe (<=1px/epoch) so its blurred intensity is centered.
 
@@ -507,6 +551,7 @@ def constrain_center_peak(probe):
     return shifted.reshape(probe.shape)
 
 
+@_host_safe(("med_filt_px",))
 def apply_median_filter_abs_probe(probe, med_filt_px=(1.0, 1.0)):
     """Median filter each shared probe mode's magnitude (`probe.py:859-893`)."""
     probe = jnp.asarray(probe)
@@ -519,6 +564,7 @@ def apply_median_filter_abs_probe(probe, med_filt_px=(1.0, 1.0)):
     )
 
 
+@_host_safe(("f",))
 def constrain_probe_sparsity(probe, f):
     """Zero the `f` fraction of pixels with least blurred intensity.
 
@@ -555,6 +601,7 @@ def finite_probe_support(probe, *, radius=0.5, degree=5.0, p=1.0):
     return p * mask.astype(floating)
 
 
+@_host_safe(())
 def rescale_probe_using_fixed_intensity_photons(
     probe, Nphotons, probe_power_fraction=None
 ):

@@ -231,7 +231,11 @@ def pair_jit(fn=None, *, static_argnames=()):
             return compiled["plain"](*args, **kwargs)
         if "pair" not in compiled:
 
+            # functools.wraps exposes fn's signature so static_argnames
+            # resolve against the real parameter names (inner's *a/**k
+            # would otherwise hide them and silently trace static args).
             @functools.partial(jax.jit, static_argnames=static_argnames)
+            @functools.wraps(fn)
             def inner(*a, **k):
                 a, k = _pairs_to_complex((a, k))
                 return _complex_to_pairs(fn(*a, **k))
