@@ -21,6 +21,11 @@ def extract_patches(psi, scan, patch_width):
     (POSI, patch_width, patch_width) complex64 numpy array.
     """
     check_allowed_positions(scan, psi, (patch_width, patch_width))
+    from tike_tpu.utils.pairs import download, pair_jit, upload
+
+    # Pair-safe boundaries: complex input/patches never cross a program
+    # boundary on relay backends.
+    prog = pair_jit(patch_fwd, static_argnames=("patch_width",))
     return np.asarray(
-        patch_fwd(jnp.asarray(psi), jnp.asarray(scan), patch_width)
+        download(prog(upload(np.asarray(psi)), jnp.asarray(scan), patch_width))
     )

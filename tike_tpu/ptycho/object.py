@@ -109,6 +109,10 @@ class ObjectOptions:
         return self._clone()
 
 
+from tike_tpu.ptycho.probe import _host_safe
+
+
+@_host_safe(("r",))
 def positivity_constraint(x, r):
     """Blend x toward its own magnitude: r*|x| + (1-r)*x (`object.py:208-224`)."""
     if r > 0:
@@ -120,6 +124,7 @@ def positivity_constraint(x, r):
     return x
 
 
+@_host_safe(("a",))
 def smoothness_constraint(x, a):
     """Convolve with the 3x3 kernel [[a..],[a,1-8a,a],[a..]], edge-replicated.
 
@@ -140,6 +145,7 @@ def smoothness_constraint(x, a):
     return a * neighborhood + (1.0 - 8.0 * a) * x
 
 
+@_host_safe(("a_max",))
 def clip_magnitude(x, a_max=1.0):
     """Clip the complex magnitude without changing the phase."""
     magnitude = jnp.abs(x)
