@@ -440,6 +440,26 @@ def test_striped_empty_stripes_stay_finite():
         assert np.all(np.isfinite(res.probe)), algo.__name__
 
 
+def test_striped_local_indices_partition():
+    """The multi-host data contract partitions the scan across processes.
+
+    Single-process: every position belongs to this (only) process; the
+    indices must be ascending, unique, and consistent with plan_stripes'
+    assignment for the same geometry (the contract the 2-process worker
+    relies on).
+    """
+    from tike_tpu.parallel.striped import striped_local_indices
+
+    psi, probe, scan, data = _setup(n=128)
+    mesh = make_mesh()
+    idx = striped_local_indices(
+        scan, psi.shape[-2:], probe.shape[-1], mesh
+    )
+    assert np.array_equal(idx, np.sort(np.unique(idx)))
+    # Single process owns every stripe -> every position.
+    assert len(idx) == len(scan)
+
+
 def test_striped_requires_mesh_and_validates_options():
     psi_true, probe, scan, data = _setup(n=64)
     params = tp.PtychoParameters(
