@@ -418,26 +418,32 @@ def test_striped_empty_stripes_stay_finite():
         -1,
     ).astype(np.float32)
     data = tp.simulate(p, probe, scan, psi_true).astype(np.float32)
+    # Both accumulation modes: compact AND the per-batch (non-compact)
+    # updates divide by the empty stripe's all-zero preconditioner.
     for algo in (tp.RpieOptions, tp.LstsqOptions):
-        params = tp.PtychoParameters(
-            probe=probe.copy(),
-            psi=np.full_like(psi_true, 0.5),
-            scan=scan.copy(),
-            algorithm_options=algo(
-                num_batch=2, num_iter=2, batch_method="compact"
-            ),
-            object_options=tp.ObjectOptions(),
-            probe_options=tp.ProbeOptions(
-                init_rescale_from_measurements=False
-            ),
-        )
-        res = tp.reconstruct(
-            data, params, mesh=make_mesh(), object_sharding="striped"
-        )
-        costs = [float(np.mean(c)) for c in res.algorithm_options.costs]
-        assert np.all(np.isfinite(costs)), (algo.__name__, costs)
-        assert np.all(np.isfinite(res.psi)), algo.__name__
-        assert np.all(np.isfinite(res.probe)), algo.__name__
+        for batch_method in ("compact", "wobbly_center"):
+            params = tp.PtychoParameters(
+                probe=probe.copy(),
+                psi=np.full_like(psi_true, 0.5),
+                scan=scan.copy(),
+                algorithm_options=algo(
+                    num_batch=2, num_iter=2, batch_method=batch_method
+                ),
+                object_options=tp.ObjectOptions(),
+                probe_options=tp.ProbeOptions(
+                    init_rescale_from_measurements=False
+                ),
+            )
+            res = tp.reconstruct(
+                data, params, mesh=make_mesh(), object_sharding="striped"
+            )
+            costs = [
+                float(np.mean(c)) for c in res.algorithm_options.costs
+            ]
+            case = (algo.__name__, batch_method)
+            assert np.all(np.isfinite(costs)), (case, costs)
+            assert np.all(np.isfinite(res.psi)), case
+            assert np.all(np.isfinite(res.probe)), case
 
 
 def test_striped_local_indices_partition():

@@ -95,42 +95,17 @@ def reconstruct(
             )
         vol_sharding = NamedSharding(mesh, P(axis))
         rep = NamedSharding(mesh, P())
-        if jax.process_count() > 1:
-            # Multi-process: the voxel grid spans all processes (the
-            # reference's MPI-rank grid split, `bucket.py:267-274`); every
-            # process holds full copies of the small data/theta, and each
-            # contributes its own x-slab of grid/obj.
-            def put_vol(host):
-                host = np.asarray(host)
-                return jax.make_array_from_callback(
-                    host.shape, vol_sharding, lambda idx: host[idx]
-                )
+        from tike_tpu.parallel import put_replicated_global
 
-            def put_rep(host):
-                host = np.asarray(host)
-                return jax.make_array_from_callback(
-                    host.shape, rep, lambda idx: host[idx]
-                )
-
-            grid = put_vol(make_grid_full(n))
-            data_d = put_rep(np.asarray(data, np.complex64))
-            theta_d = put_rep(np.asarray(theta, np.float32))
-            obj_d = put_vol(np.asarray(obj, np.complex64))
-        else:
-            from tike_tpu.utils.pairs import Pair
-
-            grid = jax.device_put(
-                jnp.asarray(make_grid_full(n)), vol_sharding
-            )
-
-            def put(x, sh):
-                if isinstance(x, Pair):
-                    return Pair(jax.device_put(x.data, sh))
-                return jax.device_put(x, sh)
-
-            data_d = put(data_d, rep)
-            theta_d = jax.device_put(theta_d, rep)
-            obj_d = put(obj_d, vol_sharding)
+        # Multi-process: the voxel grid spans all processes (the
+        # reference's MPI-rank grid split, `bucket.py:267-274`); every
+        # process holds full copies of the small data/theta. The volume
+        # and grid are globally sharded (each process contributes its own
+        # x-slabs via the replicated-source callback).
+        grid = put_replicated_global(make_grid_full(n), vol_sharding)
+        data_d = put_replicated_global(data_d, rep)
+        theta_d = put_replicated_global(theta_d, rep)
+        obj_d = put_replicated_global(obj_d, vol_sharding)
         (
             fwd_op_sharded,
             adj_op_sharded,
@@ -172,24 +147,9 @@ def reconstruct(
             break
 
     result["cost"] = np.asarray(costs)
-    from tike_tpu.utils.pairs import download
-
-    def fetch(v):
-        # Volume-sharded arrays span processes in a multi-host run; gather
-        # the non-addressable shards (the reference's rank-0 MPI gather).
-        if (
-            jax.process_count() > 1
-            and hasattr(v, "is_fully_addressable")
-            and not v.is_fully_addressable
-        ):
-            from jax.experimental import multihost_utils
-
-            return np.asarray(
-                multihost_utils.process_allgather(v, tiled=True)
-            )
-        return download(v)
+    from tike_tpu.parallel import fetch_global
 
     return {
-        k: fetch(v) if not np.isscalar(v) and np.ndim(v) > 0 else v
+        k: fetch_global(v) if not np.isscalar(v) and np.ndim(v) > 0 else v
         for k, v in result.items()
     }

@@ -81,39 +81,27 @@ def reconstruct(
     if mesh is not None:
         from tike_tpu.parallel import batch_sharding, replicated_sharding
 
-        if jax.process_count() > 1:
-            # The reference's MPI tier (`MPIio_lamino`, `mpi.py:87-92`):
-            # each process holds its own contiguous theta chunk of the
-            # data; assemble one globally-sharded array without gathering.
-            from tike_tpu.utils.pairs import Pair
+        from tike_tpu.parallel import (
+            put_process_local,
+            put_replicated_global,
+        )
 
-            nproc = jax.process_count()
-
-            def put_local(x, sharding):
-                arr = x.data if isinstance(x, Pair) else x
-                host = np.asarray(arr)
-                out = jax.make_array_from_process_local_data(
-                    sharding,
-                    host,
-                    global_shape=(nproc * host.shape[0], *host.shape[1:]),
-                )
-                return Pair(out) if isinstance(x, Pair) else out
-
-            def put_rep(x, sharding):
-                arr = x.data if isinstance(x, Pair) else x
-                host = np.asarray(arr)
-                out = jax.make_array_from_callback(
-                    host.shape, sharding, lambda idx: host[idx]
-                )
-                return Pair(out) if isinstance(x, Pair) else out
-
-            data_d = put_local(data_d, batch_sharding(mesh))
-            theta_d = put_local(theta_d, batch_sharding(mesh))
-            obj_d = put_rep(obj_d, replicated_sharding(mesh))
-        else:
-            data_d = jax.device_put(data_d, batch_sharding(mesh))
-            theta_d = jax.device_put(theta_d, batch_sharding(mesh))
-            obj_d = jax.device_put(obj_d, replicated_sharding(mesh))
+        # Multi-process (`MPIio_lamino`, `mpi.py:87-92`): each process
+        # holds its own contiguous theta chunk; single-process this is a
+        # plain device_put.
+        nproc = jax.process_count()
+        ntheta_local = (
+            data_d.shape[0]
+            if not hasattr(data_d, "data")
+            else data_d.data.shape[0]
+        )
+        data_d = put_process_local(
+            data_d, batch_sharding(mesh), nproc * ntheta_local
+        )
+        theta_d = put_process_local(
+            theta_d, batch_sharding(mesh), nproc * ntheta_local
+        )
+        obj_d = put_replicated_global(obj_d, replicated_sharding(mesh))
 
     logger.info(
         "{} on {:,d} by {:,d} by {:,d} volume for {:,d} "

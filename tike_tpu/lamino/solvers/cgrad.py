@@ -24,6 +24,9 @@ from tike_tpu.utils.pairs import pair_jit
 
 logger = logging.getLogger(__name__)
 
+# Module-level so the jit cache survives across outer CG iterations.
+_direction_dy_p = pair_jit(tike_tpu.opt.direction_dy)
+
 
 def _estimate_step_length(obj, theta, cfg):
     """Step-length scale = |F*Fm| / |m| (`cgrad.py:9-24`).
@@ -65,7 +68,7 @@ def cgrad(
         x=obj,
         cost_function=cost_function,
         grad=grad,
-        direction_dy=pair_jit(tike_tpu.opt.direction_dy),
+        direction_dy=_direction_dy_p,
         num_iter=cg_iter,
         step_length=step_length,
     )

@@ -148,9 +148,10 @@ def ptycho_fwd(
 def ptycho_fwd_with_probes(cfg, psi, scan, probe):
     """Forward model also returning per-slice incident probes for solvers.
 
-    Solver-internal: uses the MXU DFT-matmul FFT at detector sizes <= 256
-    (propagation_fwd_fast); the parity-facing ptycho_fwd keeps the exact
-    FFT.
+    Solver-internal: propagation goes through propagation_fwd_fast, which
+    is the native FFT unless the opt-in TIKE_MATMUL_FFT_MAX knob enables
+    the DFT-matmul variant; the parity-facing ptycho_fwd always uses the
+    exact FFT. The patch einsum runs at HIGH precision here.
     """
     from .propagation import propagation_fwd_fast
 

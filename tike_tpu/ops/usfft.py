@@ -134,12 +134,16 @@ def _kb_deapod_axis(n: int, upsampled: int, m: int, beta: float):
             np.log(np.sinh(np.maximum(st, 1e-30)) / np.maximum(st, 1e-30)),
             np.log(np.maximum(np.abs(np.sinc(st / np.pi)), 1e-300)),
         )
-    log_i0_beta = np.log(scipy_i0e(beta)) + beta
+    log_i0_beta = np.log(_i0e_host(beta)) + beta
     return (2 * m * np.exp(body - log_i0_beta)).astype(np.float64)
 
 
-def scipy_i0e(x):
-    """Host-side exponentially-scaled I0 (float64, no scipy dependency)."""
+def _i0e_host(x):
+    """Host-side exponentially-scaled I0 (float64).
+
+    numpy's np.i0 is unscaled (overflows past x ~ 709 and loses the
+    exp(-x) factor the deapodization needs in log space), hence this
+    A&S 9.8.1/9.8.2 rational fit."""
     # Abramowitz & Stegun 9.8.1/9.8.2 rational fits, accurate to ~2e-7 --
     # far below the gridding eps this kernel targets.
     x = np.abs(np.asarray(x, dtype=np.float64))

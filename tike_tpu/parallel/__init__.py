@@ -44,3 +44,77 @@ def batch_sharding(mesh: Mesh, axis: int = 0) -> NamedSharding:
     """Sharding that partitions the given axis over the mesh."""
     spec = [None] * axis + [BATCH_AXIS]
     return NamedSharding(mesh, P(*spec))
+
+
+# ---------------------------------------------------------------------------
+# Multi-process (jax.distributed) array placement and gathering, shared by
+# the striped ptycho path and the lamino/bucket drivers. All are Pair-aware
+# (tike_tpu.utils.pairs): complex host data may arrive as (..., 2) float
+# pairs on relay backends.
+# ---------------------------------------------------------------------------
+
+
+def _pair_aware(fn):
+    from tike_tpu.utils.pairs import (
+        Pair,
+        complex_to_pair_host,
+        pair_mode,
+    )
+
+    def wrapper(x, *args, **kwargs):
+        if isinstance(x, Pair):
+            return Pair(fn(np.asarray(x.data), *args, **kwargs))
+        x = np.asarray(x)
+        if np.iscomplexobj(x) and pair_mode():
+            return Pair(fn(complex_to_pair_host(x), *args, **kwargs))
+        return fn(x, *args, **kwargs)
+
+    return wrapper
+
+
+@_pair_aware
+def put_process_local(local_block, sharding, global_rows: int):
+    """Assemble a globally-sharded array from this process's leading-axis
+    block (`jax.make_array_from_process_local_data`); single-process falls
+    back to a plain device_put."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(
+            sharding,
+            local_block,
+            global_shape=(global_rows, *local_block.shape[1:]),
+        )
+    return jax.device_put(local_block, sharding)
+
+
+@_pair_aware
+def put_replicated_global(host, sharding):
+    """Place an identical full host array on every device of a (possibly
+    multi-process) mesh."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_callback(
+            host.shape, sharding, lambda idx: host[idx]
+        )
+    return jax.device_put(host, sharding)
+
+
+def fetch_global(x) -> np.ndarray:
+    """Host copy of a (possibly cross-process) sharded array.
+
+    Gathers non-addressable shards via `process_allgather` (the
+    reference's rank-0 MPI gather at join time); Pair leaves come back as
+    complex numpy.
+    """
+    from tike_tpu.utils.pairs import Pair, pair_to_complex_host
+    from tike_tpu.utils.transfer import to_host
+
+    if isinstance(x, Pair):
+        return pair_to_complex_host(fetch_global(x.data))
+    if (
+        jax.process_count() > 1
+        and hasattr(x, "is_fully_addressable")
+        and not x.is_fully_addressable
+    ):
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return to_host(x)

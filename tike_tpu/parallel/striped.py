@@ -551,7 +551,8 @@ def setup_striped_full(
             local = scan[sel].copy()
             local[:, 0] += plan.halo - k * plan.stripe_height
             scan_s[j, :nk] = local
-            scan_s[j, nk:] = local[0] if nk else (plan.halo + 1, 1)
+            # Padded capacity slots duplicate a real position (mask 0).
+            scan_s[j, nk:] = local[0]
             pos_mask[j, :nk] = 1.0
             # Batch-major data: rows follow the local contiguous order.
             for b in range(nb):
@@ -616,35 +617,15 @@ def setup_striped_full(
 
     dev_sharding = NamedSharding(mesh, P(BATCH_AXIS))
     rep_sharding = NamedSharding(mesh, P())
-    from tike_tpu.utils.pairs import Pair, complex_to_pair_host, pair_mode
+    from . import put_process_local, put_replicated_global
 
     def put_dev(x, complex=False):
         """Stripe-major placement; x holds this process's rows only."""
-        x = np.asarray(x)
-        wrap = complex and pair_mode()
-        if wrap:
-            x = complex_to_pair_host(x)
-        if multi:
-            arr = jax.make_array_from_process_local_data(
-                dev_sharding, x, global_shape=(ndev, *x.shape[1:])
-            )
-        else:
-            arr = jax.device_put(jnp.asarray(x), dev_sharding)
-        return Pair(arr) if wrap else arr
+        return put_process_local(x, dev_sharding, ndev)
 
     def put_rep(x, complex=False):
         """Replicated placement (identical full array on every process)."""
-        x = np.asarray(x)
-        wrap = complex and pair_mode()
-        if wrap:
-            x = complex_to_pair_host(x)
-        if multi:
-            arr = jax.make_array_from_callback(
-                x.shape, rep_sharding, lambda idx: x[idx]
-            )
-        else:
-            arr = jax.device_put(jnp.asarray(x), rep_sharding)
-        return Pair(arr) if wrap else arr
+        return put_replicated_global(x, rep_sharding)
 
     # Moment states (per the EpochPlan moment kinds).
     psi_local_shape = (n_own, d, plan.local_height, w)
@@ -672,12 +653,9 @@ def setup_striped_full(
             probe_v = put_rep(
                 np.zeros((3, *gshape), np.complex64), complex=True
             )
-    eh = np.full(3, np.inf, np.float32)
-    tail = list(prev_costs)[-2:]
-    if len(tail) >= 1:
-        eh[2] = tail[-1]
-    if len(tail) >= 2:
-        eh[1] = tail[-2]
+    from tike_tpu.ptycho.solvers.fused import seed_err_hist
+
+    eh = seed_err_hist(prev_costs)
 
     pos_v = pos_m = jnp.zeros((), jnp.float32)
     if plan_static.recover_positions:
@@ -804,20 +782,10 @@ def striped_epoch(state: StripedState) -> float:
 
 
 def _fetch_dev(x) -> np.ndarray:
-    """Host copy of a stripe-major global array.
+    """Host copy of a stripe-major global array (see parallel.fetch_global)."""
+    from . import fetch_global
 
-    Gathers the non-addressable shards across processes in a multi-host
-    run (the reference's rank-0 MPI gather at join time).
-    """
-    from tike_tpu.utils.pairs import Pair, pair_to_complex_host
-
-    if isinstance(x, Pair):
-        return pair_to_complex_host(_fetch_dev(x.data))
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-
-        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
-    return to_host(x)
+    return fetch_global(x)
 
 
 def striped_result(

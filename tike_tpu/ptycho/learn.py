@@ -9,9 +9,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from tike_tpu.ops.patch import patch_fwd
+from tike_tpu.utils.pairs import download, pair_jit, upload
 from .position import check_allowed_positions
 
 __all__ = ["extract_patches"]
+
+# Module-level so the jit cache survives across calls.
+_patch_fwd_p = pair_jit(patch_fwd, static_argnames=("patch_width",))
 
 
 def extract_patches(psi, scan, patch_width):
@@ -21,11 +25,12 @@ def extract_patches(psi, scan, patch_width):
     (POSI, patch_width, patch_width) complex64 numpy array.
     """
     check_allowed_positions(scan, psi, (patch_width, patch_width))
-    from tike_tpu.utils.pairs import download, pair_jit, upload
-
     # Pair-safe boundaries: complex input/patches never cross a program
     # boundary on relay backends.
-    prog = pair_jit(patch_fwd, static_argnames=("patch_width",))
     return np.asarray(
-        download(prog(upload(np.asarray(psi)), jnp.asarray(scan), patch_width))
+        download(
+            _patch_fwd_p(
+                upload(np.asarray(psi)), jnp.asarray(scan), patch_width
+            )
+        )
     )

@@ -485,6 +485,13 @@ def _orthogonalize_eig_body(x):
 _orthogonalize_eig_program = jax.jit(_orthogonalize_eig_body)
 
 
+# pair_jit defers backend detection to the first call, so module-level
+# wrapping stays import-safe while keeping a stable jit cache.
+from tike_tpu.utils.pairs import pair_jit as _pair_jit  # noqa: E402
+
+_orthogonalize_eig_pair = _pair_jit(_orthogonalize_eig_body)
+
+
 def orthogonalize_eig(x):
     """Orthogonalize modes via eigenvectors of the pairwise dot product.
 
@@ -493,9 +500,9 @@ def orthogonalize_eig(x):
     host transfer.
     """
     if isinstance(x, np.ndarray):
-        from tike_tpu.utils.pairs import download, pair_jit, upload
+        from tike_tpu.utils.pairs import download, upload
 
-        result, pwr = pair_jit(_orthogonalize_eig_body)(upload(x))
+        result, pwr = _orthogonalize_eig_pair(upload(x))
         return download(result), to_host(pwr)
     result, pwr = _orthogonalize_eig_program(jnp.asarray(x))
     return result, to_host(pwr)
@@ -506,12 +513,19 @@ def _power_program(probe):
     return jnp.sum((probe * jnp.conj(probe)).real, axis=(-2, -1)).reshape(-1)
 
 
+_power_pair = _pair_jit(
+    lambda probe: jnp.sum(
+        (probe * jnp.conj(probe)).real, axis=(-2, -1)
+    ).reshape(-1)
+)
+
+
 def power(probe):
     """Return the power of each probe mode (`probe.py:773-781`)."""
     if isinstance(probe, np.ndarray):
-        from tike_tpu.utils.pairs import pair_jit, upload
+        from tike_tpu.utils.pairs import upload
 
-        return to_host(pair_jit(_power_program.__wrapped__)(upload(probe)))
+        return to_host(_power_pair(upload(probe)))
     return to_host(_power_program(jnp.asarray(probe)))
 
 

@@ -786,13 +786,11 @@ class Reconstruction:
                     else upload(np.zeros((3, *gshape), np.complex64))
                 )
         if "checked" in (plan.obj_moment, plan.probe_moment):
-            tail = [float(c[0]) for c in algo.costs[-2:]]
-            eh = np.full(3, np.inf, np.float32)
-            if len(tail) >= 1:
-                eh[2] = tail[-1]
-            if len(tail) >= 2:
-                eh[1] = tail[-2]
-            err_hist = jnp.asarray(eh)
+            from .solvers.fused import seed_err_hist
+
+            err_hist = jnp.asarray(
+                seed_err_hist([float(c[0]) for c in algo.costs])
+            )
         start = time.perf_counter()
         (
             psi,

@@ -27,6 +27,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 import tike_tpu.linalg
 from tike_tpu.ops.ptycho import PtychoConfig
@@ -37,6 +38,7 @@ from .. import object as object_module
 import tike_tpu.opt
 from ._preconditioner import _probe_precond_math, _psi_precond_math
 from .lstsq import (
+    _fz,
     _lstsq_batch_math,
     _masked_trim_mean,
     _precondition_object_update,
@@ -99,14 +101,6 @@ class EpochPlan:
     probe_mdecay: float = 0.9
 
 
-def _fz(x):
-    """Replace non-finite entries with 0 (empty-stripe 0/0 guards).
-
-    A no-op on finite data, so the replicated-path parity is unchanged.
-    """
-    return jnp.where(jnp.isfinite(x), x, 0)
-
-
 def _probe_constraints_math(plan: EpochPlan, probe):
     """The reference's per-epoch probe constraints (`ptycho.py:723-810`)."""
     if plan.probe_support > 0:
@@ -142,6 +136,19 @@ def _probe_constraints_math(plan: EpochPlan, probe):
             (probe * jnp.conj(probe)).real, axis=(-2, -1)
         ).reshape(-1)
     return probe, pwr
+
+
+def seed_err_hist(prev_costs) -> np.ndarray:
+    """(3,) tail of the epoch-cost series, right-aligned before the
+    current slot (the momentum-checked decision reads costs[-3:] after
+    the in-program roll appends the current epoch's cost)."""
+    eh = np.full(3, np.inf, np.float32)
+    tail = list(prev_costs)[-2:]
+    if len(tail) >= 1:
+        eh[2] = tail[-1]
+    if len(tail) >= 2:
+        eh[1] = tail[-2]
+    return eh
 
 
 @jax.tree_util.register_static
@@ -306,7 +313,7 @@ def _epoch_math(
                 if plan.compact:
                     psi_acc = psi_acc + out["object_upd_sum"]
                 else:
-                    dpsi = beta * out["object_update_precond"]
+                    dpsi = _fz(beta * out["object_update_precond"])
                     if plan.obj_moment == "momentum":
                         # Per-batch classical momentum
                         # (`lstsq.py:477-492` host path).
@@ -367,7 +374,7 @@ def _epoch_math(
                     deno = (1 - alpha) * psi_pre + alpha * jnp.abs(
                         psi_pre
                     ).max(axis=(-2, -1), keepdims=True)
-                    psi_c = psi_c + psi_num / deno
+                    psi_c = psi_c + _fz(psi_num / deno)
                     if plan.obj_moment == "adam":
                         # Per-batch adam on the numerator
                         # (`rpie.py:386-414` host path).
@@ -378,11 +385,11 @@ def _epoch_math(
                             vdecay=plan.obj_vdecay,
                             mdecay=plan.obj_mdecay,
                         )
-                        psi_c = psi_c + d2 / deno
+                        psi_c = psi_c + _fz(d2 / deno)
                 if plan.recover_probe:
                     ppre = jnp.abs(probe_pre[0])
                     pdeno = (1 - alpha) * ppre + alpha * ppre.max()
-                    probe_c = probe_c + gate * probe_num[0] / pdeno
+                    probe_c = probe_c + gate * _fz(probe_num[0] / pdeno)
                     if plan.probe_moment == "adam":
                         d2, pv2, pm2 = tike_tpu.opt.adam(
                             probe_num[0][0, 0, 0],
@@ -520,6 +527,24 @@ def _epoch_math(
             pos_m = jnp.where(pos_gate, m2, pos_m)
             step = step2
         scan = jnp.where(pos_gate, scan - step, scan)
+        if comm is not None:
+            # Positions must stay inside the local stripe window: patch
+            # reads/writes clamp silently at the window edge, so a
+            # position that drifted past the halo margin would corrupt
+            # gradients without error. The clamp bounds total drift to
+            # the window (the reference errors via
+            # check_allowed_positions at result time instead).
+            scan = jnp.stack(
+                [
+                    jnp.clip(
+                        scan[:, 0], 1.0, cfg.nz - cfg.probe_shape - 2.0
+                    ),
+                    jnp.clip(
+                        scan[:, 1], 1.0, cfg.n - cfg.probe_shape - 2.0
+                    ),
+                ],
+                axis=-1,
+            )
     if plan.compact:
         if plan.solver == "lstsq":
             if plan.recover_psi:

@@ -52,6 +52,14 @@ _bmul = pair_jit(lambda b, x: b * x)
 _precondition_object_update_p = None  # set below after definition
 
 
+def _fz(x):
+    """Replace non-finite entries with 0 (degenerate-batch 0/0 guards).
+
+    A no-op on finite data, so replicated-path parity is unchanged.
+    """
+    return jnp.where(jnp.isfinite(x), x, 0)
+
+
 def _trim_mean(x, proportion=0.05, axis=0):
     """Mean with the extreme `proportion` trimmed from both ends."""
     n = x.shape[axis]
@@ -304,19 +312,18 @@ def _lstsq_batch_math(
     # Degenerate (all-masked) batches — empty stripes in the striped
     # object mode — give 0/0 in the per-position solves; their masked
     # weighted sums must be 0, not NaN (NaN * 0 = NaN otherwise).
-    finz = lambda x: jnp.where(jnp.isfinite(x), x, 0)
     if x1 is not None:
-        step = 0.9 * jnp.maximum(0, finz(x1[..., None, None].real))
+        step = 0.9 * jnp.maximum(0, _fz(x1[..., None, None].real))
         out["beta_object"] = (
             jnp.sum(step * bmask[:, None, None, None, None], axis=0) / nvalid
         )[0, 0, 0]
     if x1_solo is not None:
-        step = 0.9 * jnp.maximum(0, finz(x1_solo[..., None, None].real))
+        step = 0.9 * jnp.maximum(0, _fz(x1_solo[..., None, None].real))
         out["beta_object_solo"] = (
             jnp.sum(step * bmask[:, None, None, None, None], axis=0) / nvalid
         )[0, 0, 0]
     if x2 is not None:
-        step = 0.9 * jnp.maximum(0, finz(x2[..., None, None].real))
+        step = 0.9 * jnp.maximum(0, _fz(x2[..., None, None].real))
         out["beta_probe"] = (
             jnp.sum(step * bmask[:, None, None, None, None], axis=0) / nvalid
         )
