@@ -45,7 +45,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tike_tpu.ops.ptycho import PtychoConfig
 from tike_tpu.ptycho.solvers.fused import EpochPlan, StripeComm, _epoch_math
-from tike_tpu.utils.pairs import pair_jit, upload
+from tike_tpu.utils.pairs import pair_jit
 from tike_tpu.utils.transfer import to_host
 
 from . import BATCH_AXIS
@@ -371,11 +371,6 @@ class StripedState:
         return program
 
 
-def _zeros_dev(shape, complex=True):
-    dt = np.complex64 if complex else np.float32
-    return upload(np.zeros(shape, dt))
-
-
 def _own_stripe_rows(mesh: Mesh) -> np.ndarray:
     """Stripe indices (mesh axis-0 positions) owned by this process.
 
@@ -619,11 +614,14 @@ def setup_striped_full(
     rep_sharding = NamedSharding(mesh, P())
     from . import put_process_local, put_replicated_global
 
-    def put_dev(x, complex=False):
-        """Stripe-major placement; x holds this process's rows only."""
+    def put_dev(x):
+        """Stripe-major placement; x holds this process's rows only.
+
+        Complex host arrays become float Pairs on relay backends
+        (parallel.put_process_local is pair-aware)."""
         return put_process_local(x, dev_sharding, ndev)
 
-    def put_rep(x, complex=False):
+    def put_rep(x):
         """Replicated placement (identical full array on every process)."""
         return put_replicated_global(x, rep_sharding)
 
@@ -632,7 +630,7 @@ def setup_striped_full(
     obj_v = obj_m = jnp.zeros((), jnp.float32)
     if plan_static.obj_moment != "none":
         obj_m = put_dev(
-            np.zeros(psi_local_shape, np.complex64), complex=True
+            np.zeros(psi_local_shape, np.complex64)
         )
         if plan_static.obj_moment == "adam":
             obj_v = put_dev(np.zeros(psi_local_shape, np.float32))
@@ -646,12 +644,12 @@ def setup_striped_full(
         gshape = (
             (p, p) if plan_static.solver == "rpie" else (1, 1, p, p)
         )
-        probe_m = put_rep(np.zeros(gshape, np.complex64), complex=True)
+        probe_m = put_rep(np.zeros(gshape, np.complex64))
         if plan_static.probe_moment == "adam":
             probe_v = put_rep(np.zeros(gshape, np.float32))
         else:
             probe_v = put_rep(
-                np.zeros((3, *gshape), np.complex64), complex=True
+                np.zeros((3, *gshape), np.complex64)
             )
     from tike_tpu.ptycho.solvers.fused import seed_err_hist
 
@@ -673,7 +671,7 @@ def setup_striped_full(
         mesh=mesh,
         height=h,
         order=order,
-        psi=put_dev(psi_s, complex=True),
+        psi=put_dev(psi_s),
         data=put_dev(data_s),
         scan=put_dev(scan_s),
         batch_idx=put_dev(bidx_s),
@@ -691,9 +689,9 @@ def setup_striped_full(
         pos_m=pos_m,
         obj_v=obj_v,
         obj_m=obj_m,
-        probe=put_rep(np.asarray(probe, np.complex64), complex=True),
+        probe=put_rep(np.asarray(probe, np.complex64)),
         eigen_p=(
-            put_rep(np.asarray(eigen_probe, np.complex64), complex=True)
+            put_rep(np.asarray(eigen_probe, np.complex64))
             if eigen_probe is not None
             else jnp.zeros((), jnp.float32)
         ),
