@@ -109,3 +109,48 @@ def test_fourier_patch_adjoint_and_integer_agreement():
     np.testing.assert_allclose(
         np.asarray(f_int), np.asarray(b_int), rtol=1e-4, atol=1e-5
     )
+
+
+def test_patch_ops_irregular_sizes():
+    """Adjoint property + oracle across patch widths and dense/sparse
+    regimes, including non-power-of-2 and odd widths.
+
+    Exercises both accumulation paths of patch_adj (the dense merged-cell
+    path when windows outnumber grid cells, the per-window scan otherwise)
+    and the tile padding for widths that do not quarter evenly.
+    """
+    import jax
+
+    rng = np.random.default_rng(3)
+    for p, h, w, n in [
+        (8, 48, 48, 100),     # dense -> merged-cell path
+        (24, 100, 90, 12),    # sparse -> per-window scan path
+        (100, 260, 300, 40),  # non-power-of-2, tile pads unevenly
+        (33, 140, 150, 80),   # odd width
+    ]:
+        images = random_complex(rng, h, w)
+        positions = np.stack(
+            [rng.uniform(1, h - p - 2, n), rng.uniform(1, w - p - 2, n)],
+            axis=-1,
+        ).astype(np.float32)
+        patches = random_complex(rng, n, p, p)
+        fwd = patch_fwd(jnp.asarray(images), jnp.asarray(positions), p)
+        want = _patch_fwd_oracle(images, positions, p)
+        np.testing.assert_allclose(
+            np.asarray(fwd), want, rtol=1e-4, atol=1e-4,
+            err_msg=f"p={p}",
+        )
+        adj = patch_adj(
+            jnp.asarray(patches), jnp.asarray(positions), (h, w)
+        )
+        check_adjoint(fwd, images, adj, patches)
+        # patch_adj agrees with the scatter-oracle formulation.
+        from tike_tpu.ops.patch import patch_adj_scatter
+
+        oracle = patch_adj_scatter(
+            jnp.asarray(patches), jnp.asarray(positions), (h, w)
+        )
+        scale = float(jnp.max(jnp.abs(oracle)))
+        assert (
+            float(jnp.max(jnp.abs(adj - oracle))) / scale < 1e-4
+        ), f"p={p}"
