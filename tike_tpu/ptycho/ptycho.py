@@ -38,7 +38,7 @@ from tike_tpu.utils.pairs import pair_jit
 
 from . import object as object_module
 from . import probe as probe_module
-from .position import affine_position_regularization
+from .position import affine_position_regularization, check_allowed_positions
 from . import solvers
 from .solvers import PtychoParameters
 from .solvers._preconditioner import update_preconditioners
@@ -1036,9 +1036,96 @@ class Reconstruction:
         self.data = None
 
     def append_new_data(self, new_data, new_scan):
-        raise NotImplementedError(
-            "Adding data on-the-fly is disabled until further notice."
+        """Append new diffraction patterns and positions mid-reconstruction.
+
+        Online (streaming-acquisition) reconstruction. The reference defines
+        this API but ships it disabled
+        (`/root/reference/src/tike/ptycho/ptycho.py:646-721`); this
+        implementation follows that method's documented semantics: validate
+        the new patterns, append data and positions, re-cluster the
+        mini-batches, pad eigen weights with their column means, and extend
+        the position-correction state (initial positions, confidence,
+        moments). All solver state — object, probe, eigen probes, adaptive
+        moments, cost/time histories — carries over, so ``iterate`` resumes
+        where it left off with the enlarged dataset. Because array shapes
+        grow, the epoch programs recompile on the next ``iterate`` call
+        (XLA static shapes).
+        """
+        if self.object_sharding == "striped" or self._is_multi_host():
+            raise NotImplementedError(
+                "append_new_data supports the single-process replicated "
+                "layout; striped/multi-host runs must restart with the "
+                "combined dataset"
+            )
+        new_data = np.asarray(new_data)
+        new_scan = np.asarray(new_scan, dtype=floating)
+        if (
+            new_data.ndim != 3
+            or new_scan.ndim != 2
+            or new_scan.shape[-1] != 2
+            or new_data.shape[0] != new_scan.shape[0]
+        ):
+            raise ValueError(
+                f"new data shape {new_data.shape} and new scan shape "
+                f"{new_scan.shape} are incompatible. They should be "
+                "(K, W, H) and (K, 2) with the same leading dimension."
+            )
+        if new_data.shape[-2:] != tuple(self.data_host.shape[-2:]):
+            raise ValueError(
+                f"new data frames {new_data.shape[-2:]} do not match the "
+                f"existing detector shape {tuple(self.data_host.shape[-2:])}."
+            )
+        if not np.all(np.isfinite(new_data)) or np.any(new_data < 0):
+            warnings.warn(
+                "New diffraction patterns contain invalid data. "
+                "All data should be non-negative and finite.",
+                UserWarning,
+            )
+
+        # Harvest the current state in original position order, then extend.
+        params = self.get_result()
+        check_allowed_positions(
+            new_scan, np.asarray(params.psi), params.probe.shape
         )
+        n_new = new_scan.shape[0]
+        params.scan = np.concatenate(
+            [np.asarray(params.scan), new_scan], axis=0
+        )
+        if params.eigen_weights is not None:
+            # New positions start from the mean weights of the existing
+            # ones (the reference pads with ``mode='mean'``).
+            params.eigen_weights = np.pad(
+                np.asarray(params.eigen_weights),
+                ((0, n_new), (0, 0), (0, 0)),
+                mode="mean",
+            )
+        popt = params.position_options
+        if popt is not None:
+            popt.initial_scan = np.concatenate(
+                [np.asarray(popt.initial_scan), new_scan], axis=0
+            )
+            if popt.confidence is not None:
+                popt.confidence = np.concatenate(
+                    [
+                        np.asarray(popt.confidence),
+                        np.ones((n_new, 2), dtype=floating),
+                    ],
+                    axis=0,
+                )
+            if popt._momentum is not None:
+                popt._momentum = np.pad(
+                    np.asarray(popt._momentum), ((0, n_new), (0, 0))
+                )
+        if params.probe_options is not None:
+            # The probe is no longer "initial"; re-entering must not
+            # re-apply the measurement-power rescale to the refined probe.
+            params.probe_options.init_rescale_from_measurements = False
+
+        self.data_host = np.concatenate(
+            [np.asarray(self.data_host), new_data], axis=0
+        )
+        self.parameters_host = params
+        return self.__enter__()
 
 
 def reconstruct(
