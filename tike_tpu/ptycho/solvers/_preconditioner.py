@@ -55,7 +55,9 @@ def _psi_precond_math(cfg: PtychoConfig, psi, scan, probe, mask=None):
         prop = cfg.propagator()
         probe1 = jnp.broadcast_to(probe[0, 0], (n, probe.shape[-3], p, p))
         for i in range(1, cfg.nslices):
-            patches = patch_fwd(psi[i - 1], scan, p)
+            patches = patch_fwd(
+                psi[i - 1], scan, p, precision=jax.lax.Precision.HIGH
+            )
             probe1 = fresnel_fwd(patches[:, None] * probe1, prop)
             amp = jnp.sum(
                 (probe1 * jnp.conj(probe1)).real, axis=1

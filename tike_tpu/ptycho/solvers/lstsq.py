@@ -273,7 +273,10 @@ def _lstsq_batch_math(
             object_upd_sum, psi_preconditioner
         )
         out["object_update_precond"] = object_update_precond
-        proj = patch_fwd(object_update_precond[0], scan_b, cfg.probe_shape)
+        proj = patch_fwd(
+            object_update_precond[0], scan_b, cfg.probe_shape,
+            precision=jax.lax.Precision.HIGH,
+        )
         dOP = proj[:, None, None] * unique_probe[..., m : m + 1, :, :]
         A1 = jnp.sum((dOP * dOP.conj()).real + eps, axis=(-2, -1))
         A1 = A1 + 0.5 * jnp.mean(A1, axis=-3)
