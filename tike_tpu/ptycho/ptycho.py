@@ -647,6 +647,7 @@ class Reconstruction:
             rescale_mean_abs=oopts is not None,
             rescale_period=algo.rescale_period,
             alpha=float(getattr(algo, "alpha", 0.05)),
+            fft_precond=solvers._preconditioner.USE_FFT_PRECOND,
             recover_positions=p.position_options is not None,
             pos_update_start=(
                 p.position_options.update_start

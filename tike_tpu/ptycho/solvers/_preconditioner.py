@@ -14,6 +14,7 @@ chunks because its data is host-pinned; ours is device-resident).
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -97,6 +98,115 @@ def _probe_precond_math(cfg: PtychoConfig, psi, scan, mask=None):
     return jnp.stack(slices)
 
 
+# ---------------------------------------------------------------------------
+# FFT formulation (single slice): both preconditioners are sums over ALL
+# positions of bilinearly-placed quantities, so they factor through small
+# point densities scattered at integer pixels:
+#   psi_pre   = (4-term bilinear density)  *  |probe|^2          (convolution)
+#   probe_pre = sum_delta 2Re[(pair density_delta) star Z_delta] (correlation)
+# where Z_delta(y,x) = psi(y,x) conj psi(y+dy, x+dx) covers the 3x3 bilinear
+# cross terms of |interpolated patch|^2 (delta in {0,+-1}^2, half set by
+# conjugate symmetry). Each is a handful of full-object FFTs instead of a
+# gather of every patch — O(S^2 log S) vs O(N P^2) — and EXACT (same
+# interp-then-square math as the reference kernel, not an approximation).
+# ---------------------------------------------------------------------------
+
+
+# TIKE_FFT_PRECOND=1 switches the single-slice epoch programs to the FFT
+# formulation (exact; see tests/ptycho/test_precond_fft.py). Default off
+# until measured faster on the chip (the density scatter-add cost is
+# hardware-dependent).
+USE_FFT_PRECOND = _os.environ.get("TIKE_FFT_PRECOND", "0") == "1"
+
+
+def _fft_len(n: int) -> int:
+    """Smallest 5-smooth length >= n (fast XLA FFT sizes)."""
+    m = n
+    while True:
+        k = m
+        for p in (2, 3, 5):
+            while k % p == 0:
+                k //= p
+        if k == 1:
+            return m
+        m += 1
+
+
+def _bilinear_split(scan):
+    corner = jnp.floor(scan)
+    fy = scan[:, 0] - corner[:, 0]
+    fx = scan[:, 1] - corner[:, 1]
+    Y = corner[:, 0].astype(jnp.int32)
+    X = corner[:, 1].astype(jnp.int32)
+    return Y, X, (1 - fy, fy), (1 - fx, fx)
+
+
+def _psi_precond_fft_math(cfg: PtychoConfig, scan, probe, w):
+    """Single-slice psi preconditioner as density-conv-|probe|^2.
+
+    Exactly :func:`_psi_precond_math` (by linearity of the patch adjoint):
+    the same |probe|^2 is spread at every position, so the sum is the
+    4-corner bilinear point density convolved with |probe|^2.
+    """
+    h, wd, p = cfg.nz, cfg.n, cfg.probe_shape
+    Y, X, wy, wx = _bilinear_split(scan)
+    d = jnp.zeros((h + 1, wd + 1), jnp.float32)
+    for a in (0, 1):
+        for b in (0, 1):
+            d = d.at[Y + a, X + b].add(w * wy[a] * wx[b])
+    probe_amp = jnp.sum((probe[0, 0] * jnp.conj(probe[0, 0])).real, axis=0)
+    s1, s2 = _fft_len(h + p + 1), _fft_len(wd + p + 1)
+    out = jnp.fft.irfft2(
+        jnp.fft.rfft2(d, s=(s1, s2)) * jnp.fft.rfft2(probe_amp, s=(s1, s2)),
+        s=(s1, s2),
+    )[:h, :wd]
+    return out[None].astype(jnp.float32)
+
+
+def _probe_precond_fft_math(cfg: PtychoConfig, psi, scan, w):
+    """Single-slice probe preconditioner via 5 density-correlations.
+
+    Expands sum_s |bilinear-interp patch_s|^2 into its 16 bilinear cross
+    terms, grouped by pixel offset delta: interp-then-square, identical to
+    :func:`_probe_precond_math` / the reference kernel semantics.
+    """
+    h, wd, p = cfg.nz, cfg.n, cfg.probe_shape
+    psi0 = psi[0]
+    Y, X, wy, wx = _bilinear_split(scan)
+    rho = jnp.zeros((5, h + 2, wd + 2), jnp.float32)
+    for a in (0, 1):
+        for b in (0, 1):
+            rho = rho.at[0, Y + a, X + b].add(w * (wy[a] * wx[b]) ** 2)
+    for a in (0, 1):  # delta = (0, 1)
+        rho = rho.at[1, Y + a, X].add(w * wy[a] ** 2 * wx[0] * wx[1])
+    for b in (0, 1):  # delta = (1, 0)
+        rho = rho.at[2, Y, X + b].add(w * wx[b] ** 2 * wy[0] * wy[1])
+    wq = w * wy[0] * wy[1] * wx[0] * wx[1]
+    rho = rho.at[3, Y, X].add(wq)  # delta = (1, 1)
+    rho = rho.at[4, Y, X + 1].add(wq)  # delta = (1, -1)
+
+    def shifted(dy, dx):
+        pad = jnp.pad(psi0, ((0, max(dy, 0)), (max(-dx, 0), max(dx, 0))))
+        return pad[dy : dy + h, max(-dx, 0) + dx : max(-dx, 0) + dx + wd]
+
+    Z = jnp.stack(
+        [
+            psi0 * jnp.conj(psi0),
+            psi0 * jnp.conj(shifted(0, 1)),
+            psi0 * jnp.conj(shifted(1, 0)),
+            psi0 * jnp.conj(shifted(1, 1)),
+            psi0 * jnp.conj(shifted(1, -1)),
+        ]
+    )
+    s1, s2 = _fft_len(h + p + 2), _fft_len(wd + p + 2)
+    corr = jnp.fft.ifft2(
+        jnp.conj(jnp.fft.fft2(rho, s=(s1, s2)))
+        * jnp.fft.fft2(Z, s=(s1, s2)),
+    )[:, :p, :p]
+    out = corr[0].real + 2 * jnp.sum(corr[1:].real, axis=0)
+    return out[None].astype(jnp.float32)
+
+
 @pair_jit(static_argnames=("cfg",))
 def psi_preconditioner(cfg, psi, scan, probe, mask=None):
     """Jitted wrapper around :func:`_psi_precond_math`."""
@@ -144,6 +254,7 @@ def update_preconditioners(
         jnp.asarray(batch_mask),
         want_psi=want_psi,
         want_probe=want_probe,
+        use_fft=USE_FFT_PRECOND,
     )
     if want_psi:
         parameters.object_options.preconditioner = psi_pre
@@ -152,7 +263,7 @@ def update_preconditioners(
     return parameters
 
 
-@pair_jit(static_argnames=("cfg", "want_psi", "want_probe"))
+@pair_jit(static_argnames=("cfg", "want_psi", "want_probe", "use_fft"))
 def _preconditioner_epoch_program(
     cfg: PtychoConfig,
     psi,
@@ -163,6 +274,7 @@ def _preconditioner_epoch_program(
     *,
     want_psi: bool,
     want_probe: bool,
+    use_fft: bool = False,
 ):
     """Both preconditioners for the whole scan as one XLA program.
 
@@ -172,6 +284,31 @@ def _preconditioner_epoch_program(
     from tike_tpu.ops.patch import patch_adj, patch_fwd
 
     nb = batch_idx.shape[0]
+
+    if use_fft and cfg.nslices == 1:
+        w_all = (
+            jnp.zeros(scan.shape[0], jnp.float32)
+            .at[batch_idx.reshape(-1)]
+            .add(batch_mask.reshape(-1))
+        )
+        psi_pre = (
+            _psi_precond_fft_math(cfg, scan, probe, w_all).astype(
+                jnp.complex64
+            )
+            if want_psi
+            else jnp.zeros((cfg.nslices, cfg.nz, cfg.n), jnp.complex64)
+        )
+        probe_pre = (
+            _probe_precond_fft_math(cfg, psi, scan, w_all).astype(
+                jnp.complex64
+            )
+            if want_probe
+            else jnp.zeros(
+                (cfg.nslices, cfg.probe_shape, cfg.probe_shape),
+                jnp.complex64,
+            )
+        )
+        return psi_pre, probe_pre
 
     def body(carry, inp):
         psi_pre, probe_pre = carry

@@ -36,7 +36,12 @@ from tike_tpu.utils.pairs import pair_jit
 from .. import probe as probe_module
 from .. import object as object_module
 import tike_tpu.opt
-from ._preconditioner import _probe_precond_math, _psi_precond_math
+from ._preconditioner import (
+    _probe_precond_fft_math,
+    _probe_precond_math,
+    _psi_precond_fft_math,
+    _psi_precond_math,
+)
 from .lstsq import (
     _fz,
     _lstsq_batch_math,
@@ -99,6 +104,9 @@ class EpochPlan:
     obj_mdecay: float = 0.9
     probe_vdecay: float = 0.999
     probe_mdecay: float = 0.9
+    # FFT-formulation preconditioners (single-slice; exact — see
+    # _preconditioner.py). Static so flipping it retraces the program.
+    fft_precond: bool = False
 
 
 def _probe_constraints_math(plan: EpochPlan, probe):
@@ -222,28 +230,48 @@ def _epoch_math(
             (probe * jnp.conj(probe)).real, axis=(-2, -1)
         ).reshape(-1)
 
-    # Preconditioners over all batches.
-    def pre_body(carry2, inp):
-        psi_pre, probe_pre = carry2
-        idx, bmask = inp
-        scan_b = jnp.take(scan, idx, axis=0)
-        if plan.recover_psi:
-            psi_pre = psi_pre + _psi_precond_math(
-                cfg, psi, scan_b, probe, bmask
-            )
-        if plan.recover_probe:
-            probe_pre = probe_pre + _probe_precond_math(
-                cfg, psi, scan_b, bmask
-            )
-        return (psi_pre, probe_pre), None
-
+    # Preconditioners over all batches: one FFT-formulation program when
+    # single-slice (exact — tests/ptycho/test_precond_fft.py), else a
+    # lax.scan of per-batch patch gathers.
     psi_pre0 = jnp.zeros((cfg.nslices, cfg.nz, cfg.n), jnp.float32)
     probe_pre0 = jnp.zeros(
         (cfg.nslices, cfg.probe_shape, cfg.probe_shape), jnp.float32
     )
-    (psi_pre, probe_pre), _ = jax.lax.scan(
-        pre_body, (psi_pre0, probe_pre0), (batch_idx, batch_mask)
-    )
+    if plan.fft_precond and cfg.nslices == 1:
+        w_all = (
+            jnp.zeros(scan.shape[0], jnp.float32)
+            .at[batch_idx.reshape(-1)]
+            .add(batch_mask.reshape(-1))
+        )
+        psi_pre = (
+            _psi_precond_fft_math(cfg, scan, probe, w_all)
+            if plan.recover_psi
+            else psi_pre0
+        )
+        probe_pre = (
+            _probe_precond_fft_math(cfg, psi, scan, w_all)
+            if plan.recover_probe
+            else probe_pre0
+        )
+    else:
+
+        def pre_body(carry2, inp):
+            psi_pre, probe_pre = carry2
+            idx, bmask = inp
+            scan_b = jnp.take(scan, idx, axis=0)
+            if plan.recover_psi:
+                psi_pre = psi_pre + _psi_precond_math(
+                    cfg, psi, scan_b, probe, bmask
+                )
+            if plan.recover_probe:
+                probe_pre = probe_pre + _probe_precond_math(
+                    cfg, psi, scan_b, bmask
+                )
+            return (psi_pre, probe_pre), None
+
+        (psi_pre, probe_pre), _ = jax.lax.scan(
+            pre_body, (psi_pre0, probe_pre0), (batch_idx, batch_mask)
+        )
     if comm is not None and plan.recover_probe:
         # The probe preconditioner sums |patches|^2 over every stripe's
         # positions (the reference pools it across GPUs,
