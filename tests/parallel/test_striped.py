@@ -503,3 +503,80 @@ def test_striped_num_batch_chunks_match_single_batch():
     np.testing.assert_allclose(a[2], b[2], rtol=1e-4)  # costs
     np.testing.assert_allclose(a[0], b[0], rtol=1e-3, atol=1e-5)  # psi
     np.testing.assert_allclose(a[1], b[1], rtol=1e-3, atol=1e-5)  # probe
+
+
+def test_striped_position_regularization_matches_replicated(monkeypatch):
+    """use_position_regularization runs in striped mode (per-epoch host
+    RANSAC fit between 1-epoch chunks) and tracks the replicated path.
+
+    RANSAC subset draws are pinned to a fixed rng on both paths so the
+    comparison isolates the striped plumbing, not sampler noise.
+    """
+    import tike_tpu.ptycho.position as pos
+
+    orig = pos.estimate_global_transformation_ransac
+
+    def pinned(*args, **kwargs):
+        kwargs["rng"] = np.random.default_rng(0)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(
+        pos, "estimate_global_transformation_ransac", pinned
+    )
+
+    psi_true, probe, scan, data = _setup(n=256)
+    rng = np.random.default_rng(3)
+    # A small affine distortion + noise: the regularization's model.
+    A = np.array([[1.004, 0.002], [-0.003, 0.998]], np.float32)
+    perturbed = (scan @ A.T + rng.uniform(-0.3, 0.3, scan.shape)).astype(
+        np.float32
+    )
+    mesh = make_mesh()
+    psi0 = np.full_like(psi_true, 0.5)
+
+    def run(striped):
+        params = tp.PtychoParameters(
+            probe=probe.copy(),
+            psi=psi0.copy(),
+            scan=perturbed.copy(),
+            position_options=tp.PositionOptions(
+                initial_scan=perturbed,
+                use_position_regularization=True,
+                update_magnitude_limit=0.2,
+            ),
+            algorithm_options=tp.LstsqOptions(
+                num_batch=2, num_iter=6, batch_method="compact"
+            ),
+            object_options=tp.ObjectOptions(),
+            probe_options=tp.ProbeOptions(
+                init_rescale_from_measurements=False
+            ),
+        )
+        kw = (
+            dict(mesh=mesh, object_sharding="striped") if striped else {}
+        )
+        return tp.reconstruct(data, params, **kw)
+
+    res_s = run(striped=True)
+    res_r = run(striped=False)
+
+    costs_s = [float(np.mean(c)) for c in res_s.algorithm_options.costs]
+    costs_r = [float(np.mean(c)) for c in res_r.algorithm_options.costs]
+    assert np.isfinite(costs_s).all() and costs_s[-1] < costs_s[0]
+    # Same physics: both converge to noise level (the per-epoch solver
+    # path and the fused striped program are different-but-equivalent
+    # update orders, so exact cost equality is not expected).
+    assert costs_s[-1] < 0.01 * costs_s[0], (costs_s[0], costs_s[-1])
+    assert costs_s[-1] < 5 * costs_r[-1] + 1e-5, (costs_s[-1], costs_r[-1])
+    # Position recovery toward the TRUE positions (the paths take
+    # different-but-equivalent update orders, so compare each to truth
+    # rather than to each other).
+    err0 = np.median(np.linalg.norm(perturbed - scan, axis=1))
+    err_s = np.median(np.linalg.norm(res_s.scan - scan, axis=1))
+    err_r = np.median(np.linalg.norm(res_r.scan - scan, axis=1))
+    assert err_s < 1.5 * err_r + 0.05, (err0, err_s, err_r)
+    assert err_s < 0.95 * err0, (err_s, err0)
+    # The fitted global transforms agree.
+    ts = res_s.position_options.transform.asarray()
+    tr = res_r.position_options.transform.asarray()
+    np.testing.assert_allclose(ts, tr, atol=5e-3)

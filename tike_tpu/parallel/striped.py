@@ -798,6 +798,48 @@ def striped_result(
     )
 
 
+def striped_scan_global(state: StripedState) -> np.ndarray:
+    """Scan positions reassembled in the original global order."""
+    n_total = sum(len(o) for o in state.order)
+    scan_l = _fetch_dev(state.scan)
+    scan_g = np.zeros((n_total, 2), np.float32)
+    for k, sel in enumerate(state.order):
+        nk = len(sel)
+        local = scan_l[k, :nk].copy()
+        local[:, 0] -= state.plan.halo - k * state.plan.stripe_height
+        scan_g[sel] = local
+    return scan_g
+
+
+def striped_set_scan(state: StripedState, scan_g: np.ndarray) -> None:
+    """Write corrected global positions back into the stripe layout.
+
+    The inverse of :func:`striped_scan_global`: re-offsets each stripe's
+    rows into its local window, clamps to the window interior (the same
+    clamp the in-program position update applies — positions beyond the
+    halo margin would corrupt gradients silently), keeps padded capacity
+    slots unchanged, and re-places the stripe-major block with this
+    process's rows (multi-host safe: every process must pass the SAME
+    global scan).
+    """
+    from . import put_process_local
+
+    cfg = state.epoch_plan.cfg
+    p = cfg.probe_shape
+    scan_l = _fetch_dev(state.scan).copy()
+    for k, sel in enumerate(state.order):
+        nk = len(sel)
+        local = np.asarray(scan_g[sel], np.float32).copy()
+        local[:, 0] += state.plan.halo - k * state.plan.stripe_height
+        local[:, 0] = np.clip(local[:, 0], 1.0, cfg.nz - p - 2.0)
+        local[:, 1] = np.clip(local[:, 1], 1.0, cfg.n - p - 2.0)
+        scan_l[k, :nk] = local
+    own = _own_stripe_rows(state.mesh)
+    state.scan = put_process_local(
+        scan_l[own], state.scan.sharding, state.comm.ndev
+    )
+
+
 def striped_full_result(state: StripedState) -> dict:
     """All solver state reassembled in the original global position order."""
     from tike_tpu.utils.pairs import download
@@ -810,14 +852,7 @@ def striped_full_result(state: StripedState) -> dict:
             download(state.eigen_p) if state.eigen_w is not None else None
         ),
     }
-    scan_l = _fetch_dev(state.scan)
-    scan_g = np.zeros((n_total, 2), np.float32)
-    for k, sel in enumerate(state.order):
-        nk = len(sel)
-        local = scan_l[k, :nk].copy()
-        local[:, 0] -= state.plan.halo - k * state.plan.stripe_height
-        scan_g[sel] = local
-    out["scan"] = scan_g
+    out["scan"] = striped_scan_global(state)
     if state.eigen_w is not None:
         ew_l = _fetch_dev(state.eigen_w)
         ew_g = np.zeros((n_total, *ew_l.shape[2:]), ew_l.dtype)

@@ -369,10 +369,13 @@ def affine_position_regularization(
     updated,
     position_options: PositionOptions,
     max_error: float = 32,
+    rng: np.random.Generator | None = None,
 ):
     """Fit and (optionally) apply the global affine position model.
 
-    Mirrors `position.py:731-776`.
+    Mirrors `position.py:731-776`. ``rng`` seeds the RANSAC subset draws;
+    multi-process callers must pass identical rngs so every process fits
+    the same transform.
     """
     from tike_tpu.utils.transfer import to_host
 
@@ -387,6 +390,7 @@ def affine_position_regularization(
         positions1=updated_np - position_options.origin,
         transform=position_options.transform,
         max_error=max_error,
+        rng=rng,
     )
     position_options.transform = new_transform
     if position_options.use_position_regularization:

@@ -396,15 +396,6 @@ class Reconstruction:
                 "striped mode implements rescale_method="
                 "'mean_of_abs_object' only (like the fused path)"
             )
-        if (
-            p.position_options is not None
-            and p.position_options.use_position_regularization
-        ):
-            raise ValueError(
-                "striped mode does not implement the host-side RANSAC "
-                "affine position regularization; disable "
-                "use_position_regularization or use the replicated path"
-            )
         margin = 8
         multi = jax.process_count() > 1
         if multi and self._seed is None:
@@ -885,8 +876,17 @@ class Reconstruction:
 
             # Multi-epoch fused chunks (like the replicated fused path);
             # convergence_window / time_limit are tested between chunks.
+            # The host-side RANSAC affine position regularization runs
+            # per epoch in the reference (`ptycho/ptycho.py:856-868`), so
+            # it forces 1-epoch chunks with the fit applied between them.
+            popt = self.parameters.position_options
+            regularize = (
+                popt is not None and popt.use_position_regularization
+            )
             window = algo.convergence_window
             chunk = num_iter if window < 2 else max(1, window // 2)
+            if regularize:
+                chunk = 1
             done = 0
             while done < num_iter:
                 if np.sum(algo.times) > algo.time_limit:
@@ -895,6 +895,18 @@ class Reconstruction:
                 step = min(chunk, num_iter - done)
                 start = time.perf_counter()
                 costs = striped.striped_iterate(self._striped, step)
+                if regularize:
+                    # Deterministic rng keyed on the epoch counter so all
+                    # processes of a multi-host run fit the SAME transform.
+                    scan_g, popt = affine_position_regularization(
+                        striped.striped_scan_global(self._striped),
+                        popt,
+                        rng=np.random.default_rng(
+                            1000 + self._striped.epochs_done
+                        ),
+                    )
+                    self.parameters.position_options = popt
+                    striped.striped_set_scan(self._striped, scan_g)
                 elapsed = time.perf_counter() - start
                 popts = self.parameters.probe_options
                 for e, cost in enumerate(costs):
@@ -908,6 +920,17 @@ class Reconstruction:
                 done += step
                 if is_converged(algo):
                     break
+            if popt is not None and not regularize:
+                # One diagnostic transform fit, matching the fused
+                # replicated path's end-of-iterate behavior.
+                _, popt = affine_position_regularization(
+                    striped.striped_scan_global(self._striped),
+                    popt,
+                    rng=np.random.default_rng(
+                        1000 + self._striped.epochs_done
+                    ),
+                )
+                self.parameters.position_options = popt
             return
         if num_iter > 0 and self._fused_eligible():
             window = algo.convergence_window
