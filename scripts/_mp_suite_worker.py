@@ -20,7 +20,7 @@ def scenarios():
         ("dp_rpie_compact", "replicated", "rpie", {}),
         ("dp_lstsq_wobbly", "replicated", "lstsq_grad", {"wobbly": True}),
         ("dp_rpie_eigen", "replicated", "rpie", {"eigen": True}),
-        ("striped_rpie", "striped", "rpie", {}),
+        ("striped_rpie", "striped", "rpie", {"rescale": True}),
         ("striped_lstsq_opr_pos", "striped", "lstsq_grad",
          {"eigen": True, "positions": True}),
         ("lamino_cgrad_theta", "lamino", "cgrad", {}),
@@ -86,7 +86,13 @@ def run_scenario(name, sharding, algo, feat, mesh, dist):
             ),
         ),
         object_options=tp.ObjectOptions(),
-        probe_options=tp.ProbeOptions(init_rescale_from_measurements=False),
+        # rescale=True exercises the multi-host probe auto-rescale: each
+        # rank contributes its own data block's measured power and both
+        # must fit the SAME scale (checked by the rank-consistency
+        # assertion over the resulting probe).
+        probe_options=tp.ProbeOptions(
+            init_rescale_from_measurements=bool(feat.get("rescale"))
+        ),
         **kwargs,
     )
     if sharding == "striped":

@@ -580,3 +580,42 @@ def test_striped_position_regularization_matches_replicated(monkeypatch):
     ts = res_s.position_options.transform.asarray()
     tr = res_r.position_options.transform.asarray()
     np.testing.assert_allclose(ts, tr, atol=5e-3)
+
+
+def test_estimate_probe_rescale_multihost_matches_and_composes():
+    """The multi-host rescale estimator reduces to the single-host one when
+    this process owns every row, and disjoint per-process partial measured
+    powers compose to the full scale (scale^2 is linear in measured power,
+    so sqrt(s0^2 + s1^2) must equal the full-data scale)."""
+    from tike_tpu.parallel.striped import (
+        estimate_probe_rescale,
+        estimate_probe_rescale_multihost,
+    )
+
+    psi, probe, scan, data = _setup(n=200)
+    n = scan.shape[0]
+
+    s_full = estimate_probe_rescale(
+        data, psi, probe, scan, rng=np.random.default_rng(5)
+    )
+    s_all = estimate_probe_rescale_multihost(
+        data,
+        np.arange(n),
+        psi,
+        probe,
+        scan,
+        rng=np.random.default_rng(5),
+    )
+    np.testing.assert_allclose(s_all, s_full, rtol=1e-12)
+
+    half = np.arange(n // 2)
+    other = np.arange(n // 2, n)
+    s0 = estimate_probe_rescale_multihost(
+        data[half], half, psi, probe, scan, rng=np.random.default_rng(5)
+    )
+    s1 = estimate_probe_rescale_multihost(
+        data[other], other, psi, probe, scan, rng=np.random.default_rng(5)
+    )
+    np.testing.assert_allclose(
+        np.sqrt(s0**2 + s1**2), s_full, rtol=1e-6
+    )

@@ -126,12 +126,28 @@ def estimate_probe_rescale(
     striped mode where psi never materializes on one device.
     """
     rng = np.random.default_rng(0) if rng is None else rng
-    n = scan.shape[0]
-    sel = (
+    sel = _rescale_sample(scan.shape[0], sample, rng)
+    model = _sampled_model_power(psi, probe, scan, sel)
+    measured = float(np.sum(data[sel]))
+    return float(np.sqrt(measured / (model + 1e-32)))
+
+
+def _rescale_sample(
+    n: int, sample: int, rng: np.random.Generator
+) -> np.ndarray:
+    return (
         np.arange(n)
         if n <= sample
         else rng.choice(n, size=sample, replace=False)
     )
+
+
+def _sampled_model_power(
+    psi: np.ndarray,
+    probe: np.ndarray,
+    scan: np.ndarray,
+    sel: np.ndarray,
+) -> float:
     p = probe.shape[-1]
     probe_power = np.sum(np.abs(probe[0, 0]) ** 2, axis=0)  # (P, P)
     corner = np.floor(scan[sel]).astype(np.int64)
@@ -147,7 +163,44 @@ def estimate_probe_rescale(
             + fy * fx * win[1:, 1:]
         )
         model += float(np.sum(np.abs(patch) ** 2 * probe_power))
-    measured = float(np.sum(data[sel]))
+    return model
+
+
+def estimate_probe_rescale_multihost(
+    data_local: np.ndarray,
+    local_indices: np.ndarray,
+    psi: np.ndarray,
+    probe: np.ndarray,
+    scan: np.ndarray,
+    sample: int = 256,
+    rng: typing.Optional[np.random.Generator] = None,
+) -> float:
+    """Multi-process :func:`estimate_probe_rescale` over per-process data.
+
+    Every process passes the SAME psi/probe/scan (and an identically-seeded
+    ``rng``, so the sample agrees) plus its own data block whose rows are
+    ``scan[local_indices]`` (the :func:`striped_local_indices` contract).
+    The model term is computed redundantly from the shared arrays; the
+    measured term sums each process's sampled rows via ``process_allgather``
+    (the reference rescales from the full dataset before the MPI split,
+    `ptycho/ptycho.py:873-972`).
+    """
+    rng = np.random.default_rng(0) if rng is None else rng
+    sel = _rescale_sample(scan.shape[0], sample, rng)
+    model = _sampled_model_power(psi, probe, scan, sel)
+    local_indices = np.asarray(local_indices)
+    lookup = np.full(scan.shape[0], -1, np.int64)
+    lookup[local_indices] = np.arange(len(local_indices))
+    rows = lookup[sel]
+    measured_local = np.float64(np.sum(data_local[rows[rows >= 0]]))
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        measured = float(
+            np.sum(multihost_utils.process_allgather(measured_local))
+        )
+    else:
+        measured = float(measured_local)
     return float(np.sqrt(measured / (model + 1e-32)))
 
 

@@ -410,20 +410,35 @@ class Reconstruction:
             p.probe_options is not None
             and p.probe_options.init_rescale_from_measurements
         ):
-            if multi:
-                raise ValueError(
-                    "striped multi-host mode cannot auto-rescale the probe "
-                    "from per-process data (processes would disagree); "
-                    "rescale on the host first and set "
-                    "init_rescale_from_measurements=False"
+            scan_full = np.asarray(p.scan)
+            data_arr = np.asarray(self.data_host)
+            if multi and data_arr.shape[0] != scan_full.shape[0]:
+                # Per-process data blocks: partial measured-power sums are
+                # combined across processes (identically-seeded rng keeps
+                # the sample and hence the scale in agreement).
+                local_idx = striped.striped_local_indices(
+                    scan_full,
+                    np.asarray(p.psi).shape[-2:],
+                    probe.shape[-1],
+                    self.mesh,
+                    position_margin=margin,
                 )
-            scale = striped.estimate_probe_rescale(
-                np.asarray(self.data_host),
-                np.asarray(p.psi),
-                probe,
-                np.asarray(p.scan),
-                rng=self._rng,
-            )
+                scale = striped.estimate_probe_rescale_multihost(
+                    data_arr,
+                    local_idx,
+                    np.asarray(p.psi),
+                    probe,
+                    scan_full,
+                    rng=self._rng,
+                )
+            else:
+                scale = striped.estimate_probe_rescale(
+                    data_arr,
+                    np.asarray(p.psi),
+                    probe,
+                    scan_full,
+                    rng=self._rng,
+                )
             logger.info("Probe rescaled by %f (striped mode)", scale)
             probe = probe * scale
         ew = p.exitwave_options
