@@ -466,7 +466,11 @@ def _orthogonalize_eig_body(x):
     """Device-side eigen orthogonalization + power-descending sort."""
     nmodes = x.shape[-3]
     flat = x.reshape(*x.shape[:-2], -1)
-    A = flat @ jnp.swapaxes(flat, -1, -2).conj()
+    # A_ij = <x_i, x_j> like the reference (`probe.py:752-759`); the
+    # conjugate-transposed variant also orthogonalizes but mixes modes
+    # with conjugated coefficients, producing different mode shapes than
+    # the reference/PtychoShelves convention (tests/data/ortho-*.mat).
+    A = jnp.conj(flat) @ jnp.swapaxes(flat, -1, -2)
     _, vectors = jnp.linalg.eigh(A)
     result = (jnp.swapaxes(vectors, -1, -2) @ flat).reshape(x.shape)
     pwr = jnp.sum((result * jnp.conj(result)).real, axis=(-2, -1))
