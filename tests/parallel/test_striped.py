@@ -555,7 +555,11 @@ def test_striped_position_regularization_matches_replicated(monkeypatch):
         kw = (
             dict(mesh=mesh, object_sharding="striped") if striped else {}
         )
-        return tp.reconstruct(data, params, **kw)
+        # random_seed pins the batch clustering so the near-threshold
+        # position-recovery assertions below are deterministic.
+        with tp.Reconstruction(data, params, random_seed=0, **kw) as ctx:
+            ctx.iterate(params.algorithm_options.num_iter)
+            return ctx.get_result()
 
     res_s = run(striped=True)
     res_r = run(striped=False)

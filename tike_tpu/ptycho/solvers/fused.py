@@ -177,51 +177,15 @@ class StripeComm:
     hs: int  # stripe interior height
 
 
-def _epoch_math(
-    plan: EpochPlan,
-    comm,              # None (single device) or StripeComm (inside shard_map)
-    epoch0,
-    data,
-    batch_idx,
-    batch_mask,
-    orders,
-    measured_pixels,
-    step_length_start,
-    step_length_weight,
-    unmeasured_pixels_scaling,
-    row_mask,          # (nz,) f32 interior-row mask for global stats, or None
-    pos_mask,          # (N,) f32 valid-position mask, or None
-    carry,
-    e,
+def _epoch_begin_math(
+    plan: EpochPlan, comm, psi, probe, scan, batch_idx, batch_mask,
+    recover_now,
 ):
-    """One full solver epoch: the shared math of the fused replicated path
-    (:func:`iterate_program`, comm=None) and the striped object-decomposed
-    path (`tike_tpu.parallel.striped`, comm=StripeComm inside shard_map).
-    """
+    """Data-free start of an epoch: gated probe constraints and the
+    whole-epoch preconditioners (both depend only on psi/probe/scan, never
+    on the diffraction data — which is what makes host-streaming the data
+    per batch possible, `striped.py` streamed mode)."""
     cfg = plan.cfg
-    nb = batch_idx.shape[0]
-    alpha = jnp.asarray(plan.alpha, jnp.float32)
-
-    (
-        psi,
-        probe,
-        eigen_p,
-        eigen_w,
-        scan,
-        pos_v,
-        pos_m,
-        obj_v,
-        obj_m,
-        probe_v,
-        probe_m,
-        err_hist,
-    ) = carry
-
-    total_e = epoch0 + e
-    recover_now = jnp.logical_and(
-        total_e >= plan.update_start,
-        (total_e % plan.update_period) == 0,
-    )
     if plan.recover_probe:
         constrained, pwr = _probe_constraints_math(plan, probe)
         probe = jnp.where(recover_now, constrained, probe)
@@ -277,12 +241,291 @@ def _epoch_math(
         # positions (the reference pools it across GPUs,
         # `_preconditioner.py:170-209`).
         probe_pre = jax.lax.psum(probe_pre, comm.axis)
+    return probe, pwr, psi_pre, probe_pre
+
+
+def _epoch_math(
+    plan: EpochPlan,
+    comm,              # None (single device) or StripeComm (inside shard_map)
+    epoch0,
+    data,
+    batch_idx,
+    batch_mask,
+    orders,
+    measured_pixels,
+    step_length_start,
+    step_length_weight,
+    unmeasured_pixels_scaling,
+    row_mask,          # (nz,) f32 interior-row mask for global stats, or None
+    pos_mask,          # (N,) f32 valid-position mask, or None
+    carry,
+    e,
+):
+    """One full solver epoch: the shared math of the fused replicated path
+    (:func:`iterate_program`, comm=None) and the striped object-decomposed
+    path (`tike_tpu.parallel.striped`, comm=StripeComm inside shard_map).
+    Composed from :func:`_epoch_begin_math`, :func:`_batch_update_math`,
+    and :func:`_epoch_end_math` so the striped streamed mode can run the
+    same pieces as separate programs with host-fed batch data.
+    """
+    nb = batch_idx.shape[0]
+
+    (
+        psi,
+        probe,
+        eigen_p,
+        eigen_w,
+        scan,
+        pos_v,
+        pos_m,
+        obj_v,
+        obj_m,
+        probe_v,
+        probe_m,
+        err_hist,
+    ) = carry
+
+    total_e = epoch0 + e
+    recover_now = jnp.logical_and(
+        total_e >= plan.update_start,
+        (total_e % plan.update_period) == 0,
+    )
+    probe, pwr, psi_pre, probe_pre = _epoch_begin_math(
+        plan, comm, psi, probe, scan, batch_idx, batch_mask, recover_now
+    )
 
     # Mini-batch sweep.
     order = orders[e]
     gate = recover_now.astype(jnp.float32)
 
     def batch_step(carry2, i):
+        n = order[i]
+        new_carry, (cost, beta_obj) = _batch_update_math(
+            plan,
+            data[n],
+            scan,
+            batch_idx[n],
+            batch_mask[n],
+            psi_pre,
+            probe_pre,
+            measured_pixels,
+            step_length_start,
+            step_length_weight,
+            unmeasured_pixels_scaling,
+            gate,
+            recover_now,
+            nb,
+            carry2,
+        )
+        return new_carry, (n, cost, beta_obj)
+
+    return _epoch_sweep_and_end(
+        plan,
+        comm,
+        batch_step,
+        nb,
+        psi,
+        probe,
+        eigen_p,
+        eigen_w,
+        scan,
+        pos_v,
+        pos_m,
+        obj_v,
+        obj_m,
+        probe_v,
+        probe_m,
+        err_hist,
+        psi_pre,
+        probe_pre,
+        batch_mask,
+        row_mask,
+        pos_mask,
+        recover_now,
+        gate,
+        total_e,
+        pwr,
+    )
+
+
+def _batch_update_math(
+    plan: EpochPlan,
+    data_n,            # (L, DET, DET) this batch's diffraction patterns
+    scan,
+    idx_n,             # (L,) int32 rows of scan/eigen_w for this batch
+    mask_n,            # (L,) f32 padded-slot mask
+    psi_pre,
+    probe_pre,
+    measured_pixels,
+    step_length_start,
+    step_length_weight,
+    unmeasured_pixels_scaling,
+    gate,
+    recover_now,
+    nb,                # static: number of batches in the epoch
+    carry2,
+):
+    """One mini-batch update against the epoch's preconditioners.
+
+    The only input that touches the diffraction data is ``data_n``, so the
+    striped streamed mode can invoke this as its own program per batch with
+    the data device_put just-in-time.
+    """
+    cfg = plan.cfg
+    alpha = jnp.asarray(plan.alpha, jnp.float32)
+    (
+        psi_c,
+        probe_c,
+        eigen_p2,
+        eigen_w2,
+        psi_acc,
+        probe_acc,
+        pos_num,
+        pos_den,
+        obj_v2,
+        obj_m2,
+        probe_v2,
+        probe_m2,
+        pcomb,
+        pbeta_sum,
+    ) = carry2
+    if plan.solver == "lstsq":
+        out = _lstsq_batch_math(
+            cfg,
+            data_n,
+            scan,
+            idx_n,
+            mask_n,
+            psi_c,
+            probe_c,
+            eigen_p2 if plan.has_eigen else None,
+            eigen_w2 if plan.has_eigen else None,
+            measured_pixels,
+            psi_pre,
+            step_length_start,
+            step_length_weight,
+            unmeasured_pixels_scaling,
+            num_batch=float(nb),
+            noise_model=plan.noise_model,
+            steplength_usemodes=plan.steplength_usemodes,
+            recover_psi=plan.recover_psi,
+            recover_probe=plan.recover_probe,
+            recover_positions=plan.recover_positions,
+        )
+        costs = out["costs"]
+        if plan.recover_positions:
+            pos_num = pos_num.at[idx_n].add(out["pos_num"])
+            pos_den = pos_den.at[idx_n].add(out["pos_den"])
+        beta_obj = jnp.asarray(0.0, jnp.float32)
+        if plan.recover_psi:
+            beta = out["beta_object"]
+            if "beta_object_solo" in out:
+                # On epochs where probe recovery is gated off, the
+                # per-epoch path solves the uncoupled object step;
+                # select the matching beta.
+                beta = jnp.where(
+                    recover_now, beta, out["beta_object_solo"]
+                )
+            beta_obj = beta.astype(jnp.float32)
+            if plan.compact:
+                psi_acc = psi_acc + out["object_upd_sum"]
+            else:
+                dpsi = _fz(beta * out["object_update_precond"])
+                if plan.obj_moment == "momentum":
+                    # Per-batch classical momentum
+                    # (`lstsq.py:477-492` host path).
+                    obj_m2 = (
+                        plan.obj_mdecay * obj_m2
+                        + (1 - plan.obj_mdecay) * dpsi
+                    )
+                    dpsi = obj_m2
+                psi_c = psi_c + dpsi
+        if plan.recover_probe:
+            dprobe = out["beta_probe"] * out["m_probe_update"]
+            probe_c = probe_c + gate * dprobe
+            if plan.probe_moment == "checked":
+                pcomb = pcomb + dprobe / nb
+                pbeta_sum = pbeta_sum + jnp.mean(out["beta_probe"])
+            if plan.has_eigen:
+                # Gate the OPR updates with the probe-recovery
+                # predicate (host control flow in the reference).
+                if "eigen_probe" in out and out["eigen_probe"] is not None:
+                    eigen_p2 = (
+                        gate * out["eigen_probe"]
+                        + (1 - gate) * eigen_p2
+                    )
+                old_w = jnp.take(eigen_w2, idx_n, axis=0)
+                new_w = gate * out["w_b"] + (1 - gate) * old_w
+                eigen_w2 = eigen_w2.at[idx_n].set(new_w)
+    else:
+        costs, psi_num, probe_num, eigen_delta = (
+            _batch_gradients_math(
+                cfg,
+                data_n,
+                scan,
+                idx_n,
+                mask_n,
+                psi_c,
+                probe_c,
+                eigen_p2 if plan.has_eigen else None,
+                eigen_w2 if plan.has_eigen else None,
+                measured_pixels,
+                step_length_start,
+                step_length_weight,
+                unmeasured_pixels_scaling,
+                noise_model=plan.noise_model,
+                steplength_usemodes=plan.steplength_usemodes,
+                recover_probe=plan.recover_probe,
+            )
+        )
+        beta_obj = jnp.asarray(0.0, jnp.float32)
+        if plan.has_eigen and eigen_delta is not None:
+            eigen_w2 = eigen_w2.at[idx_n, 0, 0].add(
+                eigen_delta * gate
+            )
+        if plan.compact:
+            psi_acc = psi_acc + psi_num
+            probe_acc = probe_acc + probe_num
+        else:
+            if plan.recover_psi:
+                deno = (1 - alpha) * psi_pre + alpha * jnp.abs(
+                    psi_pre
+                ).max(axis=(-2, -1), keepdims=True)
+                psi_c = psi_c + _fz(psi_num / deno)
+                if plan.obj_moment == "adam":
+                    # Per-batch adam on the numerator
+                    # (`rpie.py:386-414` host path).
+                    d2, obj_v2, obj_m2 = tike_tpu.opt.adam(
+                        psi_num,
+                        obj_v2,
+                        obj_m2,
+                        vdecay=plan.obj_vdecay,
+                        mdecay=plan.obj_mdecay,
+                    )
+                    psi_c = psi_c + _fz(d2 / deno)
+            if plan.recover_probe:
+                ppre = jnp.abs(probe_pre[0])
+                pdeno = (1 - alpha) * ppre + alpha * ppre.max()
+                probe_c = probe_c + gate * _fz(probe_num[0] / pdeno)
+                if plan.probe_moment == "adam":
+                    d2, pv2, pm2 = tike_tpu.opt.adam(
+                        probe_num[0][0, 0, 0],
+                        probe_v2,
+                        probe_m2,
+                        vdecay=plan.probe_vdecay,
+                        mdecay=plan.probe_mdecay,
+                    )
+                    # Moment state only advances on probe-recovery
+                    # epochs (host gating in `rpie._update`).
+                    probe_v2 = jnp.where(recover_now, pv2, probe_v2)
+                    probe_m2 = jnp.where(recover_now, pm2, probe_m2)
+                    probe_c = probe_c.at[0, 0, 0].add(
+                        gate * d2 / pdeno
+                    )
+    cost = jnp.sum(costs * mask_n) / jnp.maximum(
+        jnp.sum(mask_n), 1
+    )
+    return (
         (
             psi_c,
             probe_c,
@@ -298,164 +541,12 @@ def _epoch_math(
             probe_m2,
             pcomb,
             pbeta_sum,
-        ) = carry2
-        n = order[i]
-        if plan.solver == "lstsq":
-            out = _lstsq_batch_math(
-                cfg,
-                data[n],
-                scan,
-                batch_idx[n],
-                batch_mask[n],
-                psi_c,
-                probe_c,
-                eigen_p2 if plan.has_eigen else None,
-                eigen_w2 if plan.has_eigen else None,
-                measured_pixels,
-                psi_pre,
-                step_length_start,
-                step_length_weight,
-                unmeasured_pixels_scaling,
-                num_batch=float(nb),
-                noise_model=plan.noise_model,
-                steplength_usemodes=plan.steplength_usemodes,
-                recover_psi=plan.recover_psi,
-                recover_probe=plan.recover_probe,
-                recover_positions=plan.recover_positions,
-            )
-            costs = out["costs"]
-            if plan.recover_positions:
-                pos_num = pos_num.at[batch_idx[n]].add(out["pos_num"])
-                pos_den = pos_den.at[batch_idx[n]].add(out["pos_den"])
-            beta_obj = jnp.asarray(0.0, jnp.float32)
-            if plan.recover_psi:
-                beta = out["beta_object"]
-                if "beta_object_solo" in out:
-                    # On epochs where probe recovery is gated off, the
-                    # per-epoch path solves the uncoupled object step;
-                    # select the matching beta.
-                    beta = jnp.where(
-                        recover_now, beta, out["beta_object_solo"]
-                    )
-                beta_obj = beta.astype(jnp.float32)
-                if plan.compact:
-                    psi_acc = psi_acc + out["object_upd_sum"]
-                else:
-                    dpsi = _fz(beta * out["object_update_precond"])
-                    if plan.obj_moment == "momentum":
-                        # Per-batch classical momentum
-                        # (`lstsq.py:477-492` host path).
-                        obj_m2 = (
-                            plan.obj_mdecay * obj_m2
-                            + (1 - plan.obj_mdecay) * dpsi
-                        )
-                        dpsi = obj_m2
-                    psi_c = psi_c + dpsi
-            if plan.recover_probe:
-                dprobe = out["beta_probe"] * out["m_probe_update"]
-                probe_c = probe_c + gate * dprobe
-                if plan.probe_moment == "checked":
-                    pcomb = pcomb + dprobe / nb
-                    pbeta_sum = pbeta_sum + jnp.mean(out["beta_probe"])
-                if plan.has_eigen:
-                    # Gate the OPR updates with the probe-recovery
-                    # predicate (host control flow in the reference).
-                    if "eigen_probe" in out and out["eigen_probe"] is not None:
-                        eigen_p2 = (
-                            gate * out["eigen_probe"]
-                            + (1 - gate) * eigen_p2
-                        )
-                    old_w = jnp.take(eigen_w2, batch_idx[n], axis=0)
-                    new_w = gate * out["w_b"] + (1 - gate) * old_w
-                    eigen_w2 = eigen_w2.at[batch_idx[n]].set(new_w)
-        else:
-            costs, psi_num, probe_num, eigen_delta = (
-                _batch_gradients_math(
-                    cfg,
-                    data[n],
-                    scan,
-                    batch_idx[n],
-                    batch_mask[n],
-                    psi_c,
-                    probe_c,
-                    eigen_p2 if plan.has_eigen else None,
-                    eigen_w2 if plan.has_eigen else None,
-                    measured_pixels,
-                    step_length_start,
-                    step_length_weight,
-                    unmeasured_pixels_scaling,
-                    noise_model=plan.noise_model,
-                    steplength_usemodes=plan.steplength_usemodes,
-                    recover_probe=plan.recover_probe,
-                )
-            )
-            beta_obj = jnp.asarray(0.0, jnp.float32)
-            if plan.has_eigen and eigen_delta is not None:
-                eigen_w2 = eigen_w2.at[batch_idx[n], 0, 0].add(
-                    eigen_delta * gate
-                )
-            if plan.compact:
-                psi_acc = psi_acc + psi_num
-                probe_acc = probe_acc + probe_num
-            else:
-                if plan.recover_psi:
-                    deno = (1 - alpha) * psi_pre + alpha * jnp.abs(
-                        psi_pre
-                    ).max(axis=(-2, -1), keepdims=True)
-                    psi_c = psi_c + _fz(psi_num / deno)
-                    if plan.obj_moment == "adam":
-                        # Per-batch adam on the numerator
-                        # (`rpie.py:386-414` host path).
-                        d2, obj_v2, obj_m2 = tike_tpu.opt.adam(
-                            psi_num,
-                            obj_v2,
-                            obj_m2,
-                            vdecay=plan.obj_vdecay,
-                            mdecay=plan.obj_mdecay,
-                        )
-                        psi_c = psi_c + _fz(d2 / deno)
-                if plan.recover_probe:
-                    ppre = jnp.abs(probe_pre[0])
-                    pdeno = (1 - alpha) * ppre + alpha * ppre.max()
-                    probe_c = probe_c + gate * _fz(probe_num[0] / pdeno)
-                    if plan.probe_moment == "adam":
-                        d2, pv2, pm2 = tike_tpu.opt.adam(
-                            probe_num[0][0, 0, 0],
-                            probe_v2,
-                            probe_m2,
-                            vdecay=plan.probe_vdecay,
-                            mdecay=plan.probe_mdecay,
-                        )
-                        # Moment state only advances on probe-recovery
-                        # epochs (host gating in `rpie._update`).
-                        probe_v2 = jnp.where(recover_now, pv2, probe_v2)
-                        probe_m2 = jnp.where(recover_now, pm2, probe_m2)
-                        probe_c = probe_c.at[0, 0, 0].add(
-                            gate * d2 / pdeno
-                        )
-        cost = jnp.sum(costs * batch_mask[n]) / jnp.maximum(
-            jnp.sum(batch_mask[n]), 1
-        )
-        return (
-            (
-                psi_c,
-                probe_c,
-                eigen_p2,
-                eigen_w2,
-                psi_acc,
-                probe_acc,
-                pos_num,
-                pos_den,
-                obj_v2,
-                obj_m2,
-                probe_v2,
-                probe_m2,
-                pcomb,
-                pbeta_sum,
-            ),
-            (n, cost, beta_obj),
-        )
+        ),
+        (cost, beta_obj),
+    )
 
+def _batch_sweep_init(plan: EpochPlan, psi, probe, scan):
+    """Zeroed per-epoch accumulators threaded through the batch sweep."""
     psi_acc0 = jnp.zeros_like(psi)
     probe_acc0 = jnp.zeros((psi.shape[0], *probe.shape), probe.dtype)
     pos_acc0 = jnp.zeros_like(scan)
@@ -465,6 +556,40 @@ def _epoch_math(
         jnp.zeros_like(probe)
         if plan.solver == "lstsq" and plan.probe_moment == "checked"
         else jnp.zeros((), probe.real.dtype)
+    )
+    return psi_acc0, probe_acc0, pos_acc0, pcomb0
+
+
+def _epoch_sweep_and_end(
+    plan: EpochPlan,
+    comm,
+    batch_step,
+    nb,
+    psi,
+    probe,
+    eigen_p,
+    eigen_w,
+    scan,
+    pos_v,
+    pos_m,
+    obj_v,
+    obj_m,
+    probe_v,
+    probe_m,
+    err_hist,
+    psi_pre,
+    probe_pre,
+    batch_mask,
+    row_mask,
+    pos_mask,
+    recover_now,
+    gate,
+    total_e,
+    pwr,
+):
+    """lax.scan the mini-batch sweep, then apply the epoch end."""
+    psi_acc0, probe_acc0, pos_acc0, pcomb0 = _batch_sweep_init(
+        plan, psi, probe, scan
     )
     (
         (
@@ -504,10 +629,86 @@ def _epoch_math(
         ),
         jnp.arange(nb),
     )
+    costs_by_batch = jnp.zeros(nb, costs.dtype).at[ns].set(costs)
+    return _epoch_end_math(
+        plan,
+        comm,
+        psi,
+        probe,
+        eigen_p,
+        eigen_w,
+        scan,
+        pos_v,
+        pos_m,
+        obj_v,
+        obj_m,
+        probe_v,
+        probe_m,
+        err_hist,
+        psi_acc,
+        probe_acc,
+        pos_num,
+        pos_den,
+        pcomb,
+        pbeta_sum,
+        jnp.mean(beta_objs),
+        psi_pre,
+        probe_pre,
+        batch_mask,
+        row_mask,
+        pos_mask,
+        recover_now,
+        gate,
+        total_e,
+        pwr,
+        costs_by_batch,
+    )
+
+
+def _epoch_end_math(
+    plan: EpochPlan,
+    comm,
+    psi,
+    probe,
+    eigen_p,
+    eigen_w,
+    scan,
+    pos_v,
+    pos_m,
+    obj_v,
+    obj_m,
+    probe_v,
+    probe_m,
+    err_hist,
+    psi_acc,
+    probe_acc,
+    pos_num,
+    pos_den,
+    pcomb,
+    pbeta_sum,
+    beta_obj_mean,
+    psi_pre,
+    probe_pre,
+    batch_mask,
+    row_mask,
+    pos_mask,
+    recover_now,
+    gate,
+    total_e,
+    pwr,
+    costs_by_batch,
+):
+    """Everything after the mini-batch sweep: epoch cost/history, the
+    once-per-epoch position step, compact-mode application, adaptive
+    moments, stripe reconciliation, eigen normalization, object
+    constraints, periodic rescale. Diffraction-data-free, so the striped
+    streamed mode runs it as its own end-of-epoch program."""
+    cfg = plan.cfg
+    nb = batch_mask.shape[0]
+    alpha = jnp.asarray(plan.alpha, jnp.float32)
     # Epoch cost and its on-device history tail: the host path appends
     # the batch-mean cost to algorithm_options.costs before the
     # momentum-checked decision consults the last three entries.
-    costs_by_batch = jnp.zeros(nb, costs.dtype).at[ns].set(costs)
     if comm is None:
         epoch_cost = jnp.mean(costs_by_batch)
     else:
@@ -576,7 +777,7 @@ def _epoch_math(
     if plan.compact:
         if plan.solver == "lstsq":
             if plan.recover_psi:
-                bobj = jnp.mean(beta_objs)
+                bobj = beta_obj_mean
                 dpsi = _fz(
                     bobj * _precondition_object_update(psi_acc, psi_pre)
                 )
@@ -729,9 +930,7 @@ def _epoch_math(
         if plan.clip_magnitude:
             psi = object_module.clip_magnitude(psi, a_max=1.0)
         if plan.rescale_mean_abs:
-            do_rescale = (
-                (epoch0 + e + 1) % plan.rescale_period
-            ) == 0
+            do_rescale = ((total_e + 1) % plan.rescale_period) == 0
             if comm is None:
                 W = psi_pre.real
                 W = W / tike_tpu.linalg.mnorm(W)
