@@ -623,3 +623,76 @@ def test_estimate_probe_rescale_multihost_matches_and_composes():
     np.testing.assert_allclose(
         np.sqrt(s0**2 + s1**2), s_full, rtol=1e-6
     )
+
+
+@pytest.mark.parametrize("algo", ["rpie", "lstsq"])
+def test_striped_streamed_matches_fused(algo):
+    """store_data_on_device=False streams batches from host RAM through
+    the same epoch math as the fused striped program (>HBM data composed
+    with the >HBM object decomposition); results must match the fused
+    path closely."""
+    psi_true, probe, scan, data = _setup(n=256, nmodes=2)
+    mesh = make_mesh()
+    psi0 = np.full_like(psi_true, 0.5)
+    n, m = scan.shape[0], probe.shape[-3]
+
+    def run(on_device):
+        algo_cls = tp.RpieOptions if algo == "rpie" else tp.LstsqOptions
+        kwargs = {}
+        if algo == "lstsq":
+            weights = np.zeros((n, 2, m), np.float32)
+            weights[:, 0, :] = 1.0
+            kwargs["eigen_probe"] = 0.01 * probe[:, :1, :1]
+            kwargs["eigen_weights"] = weights
+            kwargs["position_options"] = tp.PositionOptions(
+                initial_scan=scan, update_magnitude_limit=0.2
+            )
+        params = tp.PtychoParameters(
+            probe=probe.copy(),
+            psi=psi0.copy(),
+            scan=scan.copy(),
+            algorithm_options=algo_cls(
+                num_batch=3, num_iter=3, batch_method="compact"
+            ),
+            object_options=tp.ObjectOptions(),
+            probe_options=tp.ProbeOptions(
+                init_rescale_from_measurements=False
+            ),
+            **kwargs,
+        )
+        with tp.Reconstruction(
+            data,
+            params,
+            mesh=mesh,
+            object_sharding="striped",
+            random_seed=0,
+            store_data_on_device=on_device,
+        ) as ctx:
+            ctx.iterate(params.algorithm_options.num_iter)
+            return ctx.get_result()
+
+    res_f = run(on_device=True)
+    res_s = run(on_device=False)
+
+    costs_f = [float(np.mean(c)) for c in res_f.algorithm_options.costs]
+    costs_s = [float(np.mean(c)) for c in res_s.algorithm_options.costs]
+    np.testing.assert_allclose(costs_s, costs_f, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(res_s.psi), np.asarray(res_f.psi), rtol=1e-3, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_s.probe),
+        np.asarray(res_f.probe),
+        rtol=1e-3,
+        atol=1e-5,
+    )
+    if algo == "lstsq":
+        np.testing.assert_allclose(
+            res_s.scan, res_f.scan, rtol=1e-3, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_s.eigen_weights),
+            np.asarray(res_f.eigen_weights),
+            rtol=1e-3,
+            atol=1e-5,
+        )

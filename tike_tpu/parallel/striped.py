@@ -44,7 +44,15 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tike_tpu.ops.ptycho import PtychoConfig
-from tike_tpu.ptycho.solvers.fused import EpochPlan, StripeComm, _epoch_math
+from tike_tpu.ptycho.solvers.fused import (
+    EpochPlan,
+    StripeComm,
+    _batch_sweep_init,
+    _batch_update_math,
+    _epoch_begin_math,
+    _epoch_end_math,
+    _epoch_math,
+)
 from tike_tpu.utils.pairs import pair_jit
 from tike_tpu.utils.transfer import to_host
 
@@ -216,7 +224,7 @@ class StripedState:
     order: typing.List[np.ndarray]  # per-stripe global indices, batch order
     # --- device-resident, stripe-major (leading axis = device) ---
     psi: jax.Array  # (ndev, D, R, W)
-    data: jax.Array  # (ndev, nb, L, DET, DET)
+    data: typing.Any  # (ndev, nb, L, DET, DET), or None when streaming
     scan: jax.Array  # (ndev, cap, 2) local-row coordinates
     batch_idx: jax.Array  # (ndev, nb, L)
     batch_mask: jax.Array  # (ndev, nb, L)
@@ -239,6 +247,10 @@ class StripedState:
     unmeasured_pixels_scaling: float
     epochs_done: int = 0
     last_powers: typing.Any = None  # (E, modes) per-epoch probe mode power
+    # Host-streaming mode (>HBM data): this process's batch-major block
+    # (n_own, nb, L, DET, DET) stays in host RAM; batches are device_put
+    # double-buffered into the per-batch program (`data` is None).
+    data_host: typing.Any = None
     _programs: dict = dataclasses.field(default_factory=dict)
     _rng: np.random.Generator = dataclasses.field(
         default_factory=lambda: np.random.default_rng(0)
@@ -423,6 +435,316 @@ class StripedState:
         self._programs[key] = program
         return program
 
+    def _streamed_programs(self):
+        """(begin, batch, end) programs for host-streamed epochs.
+
+        The fused whole-epoch program requires the diffraction data
+        resident in HBM; these three programs run the SAME epoch math
+        (`fused._epoch_begin_math` / `_batch_update_math` /
+        `_epoch_end_math`) with the data fed one batch at a time from the
+        host — the >HBM-data counterpart of the replicated path's
+        double-buffered streaming (`solvers/rpie.py:620-640`). Mid-epoch
+        state is per-stripe (leading device axis); the end program's
+        reconciliation (probe psum-mean, halo cross-fade) restores the
+        fused path's epoch-boundary layout, so streamed and fused epochs
+        are interchangeable.
+        """
+        key = "streamed"
+        if key in self._programs:
+            return self._programs[key]
+        plan = dataclasses.replace(self.epoch_plan, n_epochs=1)
+        comm = self.comm
+        mesh = self.mesh
+        dev = P(BATCH_AXIS)
+        rep = P()
+        has_eigen = plan.has_eigen
+        has_pos = plan.recover_positions
+        obj_mom = plan.obj_moment != "none"
+        probe_mom = plan.probe_moment != "none"
+        nb = self._nb()
+        local = lambda x: x[0]
+
+        def predicates(epoch_idx):
+            recover_now = jnp.logical_and(
+                epoch_idx >= plan.update_start,
+                (epoch_idx % plan.update_period) == 0,
+            )
+            return recover_now, recover_now.astype(jnp.float32)
+
+        def run_begin(
+            epoch_idx, psi, probe, scan, batch_idx, batch_mask,
+            eigen_p, probe_v, probe_m,
+        ):
+            recover_now, _ = predicates(epoch_idx)
+            psi_l = local(psi)
+            scan_l = local(scan)
+            probe2, pwr, psi_pre, probe_pre = _epoch_begin_math(
+                plan, comm, psi_l, probe, scan_l,
+                local(batch_idx), local(batch_mask), recover_now,
+            )
+            psi_acc0, probe_acc0, pos_acc0, pcomb0 = _batch_sweep_init(
+                plan, psi_l, probe2, scan_l
+            )
+            return (
+                probe2[None],
+                pwr,
+                psi_pre[None],
+                probe_pre,
+                psi_acc0[None],
+                probe_acc0[None],
+                pos_acc0[None],
+                pos_acc0[None],
+                pcomb0[None],
+                jnp.zeros((1,), jnp.float32),  # pbeta_sum
+                jnp.zeros((1, nb), jnp.float32),  # costs_by_batch
+                jnp.zeros((1,), jnp.float32),  # beta_obj sum
+                eigen_p[None] if has_eigen else eigen_p,
+                probe_v[None] if probe_mom else probe_v,
+                probe_m[None] if probe_mom else probe_m,
+            )
+
+        begin = pair_jit(
+            jax.shard_map(
+                run_begin,
+                mesh=mesh,
+                in_specs=(rep, dev, rep, dev, dev, dev, rep, rep, rep),
+                out_specs=(
+                    dev, rep, dev, rep, dev, dev, dev, dev, dev, dev,
+                    dev, dev,
+                    dev if has_eigen else rep,
+                    dev if probe_mom else rep,
+                    dev if probe_mom else rep,
+                ),
+                check_vma=False,
+            )
+        )
+
+        carry_specs = (
+            dev,  # psi
+            dev,  # probe (per-stripe mid-epoch)
+            dev if has_eigen else rep,  # eigen_p
+            dev if has_eigen else rep,  # eigen_w
+            dev,  # psi_acc
+            dev,  # probe_acc
+            dev,  # pos_num
+            dev,  # pos_den
+            dev if obj_mom else rep,  # obj_v
+            dev if obj_mom else rep,  # obj_m
+            dev if probe_mom else rep,  # probe_v
+            dev if probe_mom else rep,  # probe_m
+            dev,  # pcomb
+            dev,  # pbeta_sum
+            dev,  # costs_by_batch
+            dev,  # beta_obj sum
+        )
+
+        def _carry_local(carry):
+            (
+                psi, probe, eigen_p, eigen_w, psi_acc, probe_acc,
+                pos_num, pos_den, obj_v, obj_m, probe_v, probe_m,
+                pcomb, pbeta_sum,
+            ) = carry
+            return (
+                local(psi),
+                local(probe),
+                local(eigen_p) if has_eigen else eigen_p,
+                local(eigen_w) if has_eigen else eigen_w,
+                local(psi_acc),
+                local(probe_acc),
+                local(pos_num),
+                local(pos_den),
+                local(obj_v) if obj_mom else obj_v,
+                local(obj_m) if obj_mom else obj_m,
+                local(probe_v) if probe_mom else probe_v,
+                local(probe_m) if probe_mom else probe_m,
+                local(pcomb),
+                local(pbeta_sum),
+            )
+
+        def _carry_global(carry):
+            (
+                psi, probe, eigen_p, eigen_w, psi_acc, probe_acc,
+                pos_num, pos_den, obj_v, obj_m, probe_v, probe_m,
+                pcomb, pbeta_sum,
+            ) = carry
+            return (
+                psi[None],
+                probe[None],
+                eigen_p[None] if has_eigen else eigen_p,
+                eigen_w[None] if has_eigen else eigen_w,
+                psi_acc[None],
+                probe_acc[None],
+                pos_num[None],
+                pos_den[None],
+                obj_v[None] if obj_mom else obj_v,
+                obj_m[None] if obj_mom else obj_m,
+                probe_v[None] if probe_mom else probe_v,
+                probe_m[None] if probe_mom else probe_m,
+                pcomb[None],
+                pbeta_sum[None],
+            )
+
+        def run_batch(
+            n, epoch_idx, data_b, scan, batch_idx, batch_mask,
+            measured, sls, slw, ups, psi_pre, probe_pre,
+            *carry_ext,
+        ):
+            recover_now, gate = predicates(epoch_idx)
+            carry2 = _carry_local(carry_ext[:14])
+            costs_b, beta_sum = carry_ext[14], carry_ext[15]
+            new_carry, (cost, beta_obj) = _batch_update_math(
+                plan,
+                local(data_b),
+                local(scan),
+                local(batch_idx)[n],
+                local(batch_mask)[n],
+                local(psi_pre),
+                probe_pre,
+                measured,
+                sls,
+                slw,
+                ups,
+                gate,
+                recover_now,
+                nb,
+                carry2,
+            )
+            return _carry_global(new_carry) + (
+                local(costs_b).at[n].set(cost)[None],
+                (local(beta_sum) + beta_obj)[None],
+            )
+
+        batch = pair_jit(
+            jax.shard_map(
+                run_batch,
+                mesh=mesh,
+                in_specs=(
+                    rep,  # n
+                    rep,  # epoch_idx
+                    dev,  # data_b
+                    dev,  # scan
+                    dev,  # batch_idx
+                    dev,  # batch_mask
+                    rep,  # measured
+                    rep,  # sls
+                    rep,  # slw
+                    rep,  # ups
+                    dev,  # psi_pre
+                    rep,  # probe_pre
+                )
+                + carry_specs,
+                out_specs=carry_specs,
+                check_vma=False,
+            )
+        )
+
+        def run_end(
+            epoch_idx, scan, batch_mask, row_mask, pos_mask, err_hist,
+            pwr, psi_pre, probe_pre, pos_v, pos_m, *carry_ext,
+        ):
+            recover_now, gate = predicates(epoch_idx)
+            (
+                psi, probe, eigen_p, eigen_w, psi_acc, probe_acc,
+                pos_num, pos_den, obj_v, obj_m, probe_v, probe_m,
+                pcomb, pbeta_sum,
+            ) = _carry_local(carry_ext[:14])
+            costs_b, beta_sum = carry_ext[14], carry_ext[15]
+            (
+                (
+                    psi, probe, eigen_p, eigen_w, scan_l, pos_v2, pos_m2,
+                    obj_v, obj_m, probe_v, probe_m, err_hist,
+                ),
+                (costs_by_batch, pwr_out, epoch_cost),
+            ) = _epoch_end_math(
+                plan,
+                comm,
+                psi,
+                probe,
+                eigen_p,
+                eigen_w,
+                local(scan),
+                local(pos_v) if has_pos else pos_v,
+                local(pos_m) if has_pos else pos_m,
+                obj_v,
+                obj_m,
+                probe_v,
+                probe_m,
+                err_hist,
+                psi_acc,
+                probe_acc,
+                pos_num,
+                pos_den,
+                pcomb,
+                pbeta_sum,
+                local(beta_sum) / nb,
+                local(psi_pre),
+                probe_pre,
+                local(batch_mask),
+                local(row_mask),
+                local(pos_mask),
+                recover_now,
+                gate,
+                epoch_idx,
+                pwr,
+                local(costs_b),
+            )
+            return (
+                psi[None],
+                probe,
+                eigen_p,
+                eigen_w[None] if has_eigen else eigen_w,
+                scan_l[None],
+                pos_v2[None] if has_pos else pos_v2,
+                pos_m2[None] if has_pos else pos_m2,
+                obj_v[None] if obj_mom else obj_v,
+                obj_m[None] if obj_mom else obj_m,
+                probe_v,
+                probe_m,
+                err_hist,
+                epoch_cost,
+                pwr_out,
+            )
+
+        end = pair_jit(
+            jax.shard_map(
+                run_end,
+                mesh=mesh,
+                in_specs=(
+                    rep,  # epoch_idx
+                    dev,  # scan
+                    dev,  # batch_mask
+                    dev,  # row_mask
+                    dev,  # pos_mask
+                    rep,  # err_hist
+                    rep,  # pwr
+                    dev,  # psi_pre
+                    rep,  # probe_pre
+                    dev if has_pos else rep,  # pos_v
+                    dev if has_pos else rep,  # pos_m
+                )
+                + carry_specs,
+                out_specs=(
+                    dev,  # psi
+                    rep,  # probe (psum-mean reconciled)
+                    rep,  # eigen_p
+                    dev if has_eigen else rep,  # eigen_w
+                    dev,  # scan
+                    dev if has_pos else rep,  # pos_v
+                    dev if has_pos else rep,  # pos_m
+                    dev if obj_mom else rep,  # obj_v
+                    dev if obj_mom else rep,  # obj_m
+                    rep,  # probe_v
+                    rep,  # probe_m
+                    rep,  # err_hist
+                    rep,  # epoch cost (globally weighted)
+                    rep,  # pwr
+                ),
+                check_vma=False,
+            )
+        )
+        self._programs[key] = (begin, batch, end)
+        return self._programs[key]
+
 
 def _own_stripe_rows(mesh: Mesh) -> np.ndarray:
     """Stripe indices (mesh axis-0 positions) owned by this process.
@@ -490,6 +812,7 @@ def setup_striped_full(
     prev_costs: typing.Sequence[float] = (),
     rng: typing.Optional[np.random.Generator] = None,
     epochs_done: int = 0,
+    store_data_on_device: bool = True,
 ) -> StripedState:
     """Shard the full solver state into row stripes.
 
@@ -725,7 +1048,10 @@ def setup_striped_full(
         height=h,
         order=order,
         psi=put_dev(psi_s),
-        data=put_dev(data_s),
+        # Streaming mode (>HBM data): the batch-major block stays in host
+        # RAM; _striped_iterate_streamed feeds one batch at a time.
+        data=put_dev(data_s) if store_data_on_device else None,
+        data_host=None if store_data_on_device else data_s,
         scan=put_dev(scan_s),
         batch_idx=put_dev(bidx_s),
         batch_mask=put_dev(bmask_s),
@@ -760,8 +1086,153 @@ def setup_striped_full(
     )
 
 
+def _striped_iterate_streamed(
+    state: StripedState, n_epochs: int
+) -> typing.List[float]:
+    """Advance ``n_epochs`` epochs streaming data from the host per batch.
+
+    The same epoch math as the fused program, but the diffraction data
+    block never resides in HBM: each batch's (n_own, L, DET, DET) slice is
+    device_put while the previous batch computes (double-buffered, like
+    the replicated path's host-streaming mode)."""
+    from . import put_process_local
+
+    nb = state._nb()
+    begin, batch, end = state._streamed_programs()
+    dev_sharding = NamedSharding(state.mesh, P(BATCH_AXIS))
+
+    def put_batch(b):
+        return put_process_local(
+            np.ascontiguousarray(state.data_host[:, b]),
+            dev_sharding,
+            state.comm.ndev,
+        )
+
+    sls = jnp.asarray(state.step_length_start, jnp.float32)
+    slw = jnp.asarray(state.step_length_weight, jnp.float32)
+    ups = jnp.asarray(state.unmeasured_pixels_scaling, jnp.float32)
+    zero = jnp.zeros((), jnp.float32)
+    ecosts = []
+    powers = []
+    for e in range(n_epochs):
+        epoch_idx = jnp.asarray(state.epochs_done, jnp.int32)
+        if state.epoch_plan.compact:
+            order = np.arange(nb, dtype=np.int32)
+        else:
+            order = state._rng.permutation(nb).astype(np.int32)
+        (
+            probe_s,
+            pwr,
+            psi_pre,
+            probe_pre,
+            psi_acc,
+            probe_acc,
+            pos_num,
+            pos_den,
+            pcomb,
+            pbeta_sum,
+            costs_b,
+            beta_sum,
+            eigen_p_s,
+            probe_v_s,
+            probe_m_s,
+        ) = begin(
+            epoch_idx,
+            state.psi,
+            state.probe,
+            state.scan,
+            state.batch_idx,
+            state.batch_mask,
+            state.eigen_p,
+            state.probe_v,
+            state.probe_m,
+        )
+        carry = (
+            state.psi,
+            probe_s,
+            eigen_p_s,
+            state.eigen_w if state.eigen_w is not None else zero,
+            psi_acc,
+            probe_acc,
+            pos_num,
+            pos_den,
+            state.obj_v,
+            state.obj_m,
+            probe_v_s,
+            probe_m_s,
+            pcomb,
+            pbeta_sum,
+            costs_b,
+            beta_sum,
+        )
+        nxt = put_batch(int(order[0]))
+        for k in range(nb):
+            data_b = nxt
+            if k + 1 < nb:
+                # Prefetch the next batch while this one computes
+                # (device_put is asynchronous).
+                nxt = put_batch(int(order[k + 1]))
+            carry = batch(
+                jnp.asarray(int(order[k]), jnp.int32),
+                epoch_idx,
+                data_b,
+                state.scan,
+                state.batch_idx,
+                state.batch_mask,
+                state.measured_pixels,
+                sls,
+                slw,
+                ups,
+                psi_pre,
+                probe_pre,
+                *carry,
+            )
+        (
+            state.psi,
+            state.probe,
+            eigen_p,
+            eigen_w,
+            state.scan,
+            state.pos_v,
+            state.pos_m,
+            state.obj_v,
+            state.obj_m,
+            state.probe_v,
+            state.probe_m,
+            state.err_hist,
+            epoch_cost,
+            pwr_out,
+        ) = end(
+            epoch_idx,
+            state.scan,
+            state.batch_mask,
+            state.row_mask,
+            state.pos_mask,
+            state.err_hist,
+            pwr,
+            psi_pre,
+            probe_pre,
+            state.pos_v,
+            state.pos_m,
+            *carry,
+        )
+        if state.eigen_w is not None:
+            state.eigen_w = eigen_w
+            state.eigen_p = eigen_p
+        state.epochs_done += 1
+        ecosts.append(float(to_host(epoch_cost)))
+        powers.append(to_host(pwr_out))
+    state.last_powers = np.stack(powers)
+    return ecosts
+
+
 def striped_iterate(state: StripedState, n_epochs: int) -> typing.List[float]:
-    """Advance ``n_epochs`` fused epochs in place; return per-epoch costs."""
+    """Advance ``n_epochs`` fused epochs in place; return per-epoch costs.
+
+    Dispatches to the host-streaming per-batch path when the data block
+    lives in host RAM (setup with ``store_data_on_device=False``)."""
+    if state.data is None:
+        return _striped_iterate_streamed(state, n_epochs)
     nb = state._nb()
     if state.epoch_plan.compact:
         orders = np.tile(np.arange(nb, dtype=np.int32), (n_epochs, 1))

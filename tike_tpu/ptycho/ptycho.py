@@ -215,14 +215,9 @@ class Reconstruction:
                 "array. Raise num_batch or use more processes so the "
                 "per-process stripe fits in HBM."
             )
-        if store_data_on_device is False and object_sharding == "striped":
-            raise ValueError(
-                "host-streaming mode (store_data_on_device=False) is not "
-                "implemented for object_sharding='striped': each device "
-                "holds its stripe's diffraction data in HBM. Raise "
-                "num_batch to bound the per-chunk forward-model memory, "
-                "or use more devices so each stripe's data fits."
-            )
+        # store_data_on_device=False composes with object_sharding=
+        # "striped": the striped epoch streams one batch at a time from
+        # host RAM (>HBM data together with a >HBM object).
         if store_data_on_device is None:
             # Stream from host when the dataset is a large fraction of HBM
             # (v5e/v5p chips have 16-96 GB); 4 GB is a conservative cut.
@@ -453,6 +448,7 @@ class Reconstruction:
             epoch_plan=plan,
             batch_method=algo.batch_method,
             num_batch=int(algo.num_batch),
+            store_data_on_device=self.store_data_on_device,
             eigen_probe=(
                 np.asarray(p.eigen_probe)
                 if p.eigen_probe is not None
