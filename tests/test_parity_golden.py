@@ -103,3 +103,60 @@ def test_align_simulate_matches_reference_golden():
     assert sim.dtype == np.complex64
     np.testing.assert_array_equal(sim.shape, data.shape)
     np.testing.assert_allclose(sim, data, atol=1e-6)
+
+
+def test_gaussian_probe_matches_reference_golden():
+    """tp.gaussian is bit-identical to the reference's pickled output
+    (`/root/reference/tests/ptycho/test_ptycho.py:80-90`)."""
+    import tike_tpu.ptycho as tp
+
+    truth = _load("ptycho_gaussian.pickle.lzma")
+    np.testing.assert_array_equal(tp.gaussian(15, rin=0.8, rout=1.0), truth)
+
+
+@pytest.mark.slow
+def test_lamino_cgrad_matches_reference_golden_reconstruction():
+    """Our cgrad reproduces the reference's converged reconstruction.
+
+    The reference pins 1+30 cgrad iterations on the lamino_setup dataset
+    to lamino_cgrad.pickle at atol=1e-3
+    (`/root/reference/tests/test_lamino.py:146-241`). Despite a different
+    USFFT kernel (Kaiser-Bessel vs Gaussian) the result matches the
+    standard ~100x inside that tolerance.
+    """
+    import tike_tpu.lamino
+
+    data, original, theta, tilt = _load("lamino_setup.pickle.lzma")
+    standard = _load("lamino_cgrad.pickle.lzma")
+    r = tike_tpu.lamino.reconstruct(
+        data, theta, tilt, obj=np.zeros_like(original),
+        algorithm="cgrad", num_iter=1, eps=1e-3,
+    )
+    r = tike_tpu.lamino.reconstruct(
+        data, theta, tilt, obj=r["obj"], algorithm="cgrad", num_iter=30,
+        eps=1e-3, cost_history=r.get("cost"),
+    )
+    np.testing.assert_allclose(np.asarray(r["obj"]), standard, atol=1e-3)
+    # And well inside: the achieved agreement is ~1e-5.
+    assert np.max(np.abs(np.asarray(r["obj"]) - standard)) < 1e-4
+
+
+@pytest.mark.slow
+def test_lamino_bucket_matches_reference_golden_reconstruction():
+    """Our bucket solver reproduces the reference's converged result
+    (same protocol as the cgrad golden; reference
+    `/root/reference/tests/test_lamino.py:243-255`, eps=1)."""
+    import tike_tpu.lamino.bucket as bucket
+
+    data, original, theta, tilt = _load("lamino_setup.pickle.lzma")
+    standard = _load("lamino_bucket.pickle.lzma")
+    r = bucket.reconstruct(
+        data, theta, tilt, obj=np.zeros_like(original),
+        algorithm="bucket", num_iter=1, eps=1,
+    )
+    r = bucket.reconstruct(
+        data, theta, tilt, obj=r["obj"], algorithm="bucket", num_iter=30,
+        eps=1, cost_history=r.get("cost"),
+    )
+    np.testing.assert_allclose(np.asarray(r["obj"]), standard, atol=1e-3)
+    assert np.max(np.abs(np.asarray(r["obj"]) - standard)) < 1e-4
