@@ -8,10 +8,59 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+
+def _run_with_retries(argv, attempts=3, timeout_s=900, backoff_s=180):
+    """Run the benchmark in a child process, retrying relay wedges.
+
+    The tunneled TPU backend occasionally wedges so hard that even
+    ``import jax`` hangs (the axon registration blocks at interpreter
+    start). The parent stays jax-free, bounds each attempt with a
+    timeout, and forwards the child's JSON line on success.
+    """
+    for attempt in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"]
+                + argv,
+                capture_output=True,
+                text=True,
+                timeout=timeout_s,
+            )
+        except subprocess.TimeoutExpired:
+            print(
+                f"bench attempt {attempt + 1}/{attempts}: timed out after "
+                f"{timeout_s}s (relay wedge?); retrying",
+                file=sys.stderr,
+                flush=True,
+            )
+            time.sleep(backoff_s)
+            continue
+        line = next(
+            (
+                ln
+                for ln in reversed(proc.stdout.splitlines())
+                if ln.startswith("{")
+            ),
+            None,
+        )
+        if proc.returncode == 0 and line is not None:
+            print(line, flush=True)
+            return 0
+        print(
+            f"bench attempt {attempt + 1}/{attempts} failed "
+            f"(rc={proc.returncode}):\n{proc.stderr[-2000:]}",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(backoff_s)
+    return 1
 
 
 def _simulate_numpy(det, probe, scan, psi):
@@ -124,4 +173,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv:
+        sys.argv.remove("--child")
+        main()
+    else:
+        sys.exit(_run_with_retries(sys.argv[1:]))
