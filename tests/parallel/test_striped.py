@@ -696,3 +696,50 @@ def test_striped_streamed_matches_fused(algo):
             rtol=1e-3,
             atol=1e-5,
         )
+
+
+def test_striped_constant_probe_photons_matches_replicated():
+    """rescale_method='constant_probe_photons' works in striped mode and
+    tracks the replicated fused path (reference applies the rescale with
+    the start-of-epoch constraints, `ptycho/ptycho.py:783-795`)."""
+    psi_true, probe, scan, data = _setup(n=256)
+    mesh = make_mesh()
+    psi0 = np.full_like(psi_true, 0.5)
+
+    def run(striped):
+        params = tp.PtychoParameters(
+            probe=probe.copy(),
+            psi=psi0.copy(),
+            scan=scan.copy(),
+            algorithm_options=tp.RpieOptions(
+                num_batch=2,
+                num_iter=4,
+                batch_method="compact",
+                rescale_method="constant_probe_photons",
+                rescale_period=2,
+            ),
+            object_options=tp.ObjectOptions(),
+            probe_options=tp.ProbeOptions(
+                init_rescale_from_measurements=False,
+                probe_photons=float(np.sum(np.abs(probe) ** 2)),
+            ),
+        )
+        kw = (
+            dict(mesh=mesh, object_sharding="striped") if striped else {}
+        )
+        with tp.Reconstruction(data, params, random_seed=0, **kw) as ctx:
+            ctx.iterate(params.algorithm_options.num_iter)
+            return ctx.get_result()
+
+    res_s = run(striped=True)
+    res_r = run(striped=False)
+    costs_s = [float(np.mean(c)) for c in res_s.algorithm_options.costs]
+    costs_r = [float(np.mean(c)) for c in res_r.algorithm_options.costs]
+    assert np.isfinite(costs_s).all()
+    assert costs_s[-1] < costs_s[0]
+    assert costs_s[-1] < 2.0 * max(costs_r[-1], 1e-3) + 0.05
+    np.testing.assert_allclose(
+        np.sum(np.abs(np.asarray(res_s.probe)) ** 2),
+        np.sum(np.abs(np.asarray(res_r.probe)) ** 2),
+        rtol=0.05,
+    )

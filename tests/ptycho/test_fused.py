@@ -28,6 +28,8 @@ def _run(
     batch_method: str = "compact",
     obj_adaptive: bool = False,
     probe_adaptive: bool = False,
+    rescale_method: str = "mean_of_abs_object",
+    rescale_period: int = 10,
 ):
     data, scan, probe, psi = siemens_star_subset()
     kwargs = {}
@@ -53,11 +55,16 @@ def _run(
             num_batch=4,
             batch_method=batch_method,
             convergence_window=convergence_window,
+            rescale_method=rescale_method,
+            rescale_period=rescale_period,
         ),
         object_options=tp.ObjectOptions(use_adaptive_moment=obj_adaptive),
         probe_options=tp.ProbeOptions(
             update_period=update_period,
             use_adaptive_moment=probe_adaptive,
+            probe_photons=(
+                1e6 if rescale_method == "constant_probe_photons" else np.nan
+            ),
         ),
         **kwargs,
     )
@@ -206,3 +213,28 @@ def test_fused_lstsq_eigen_converges():
     assert np.all(np.isfinite(costs))
     assert costs[-1] < costs[0] / 2
     assert np.all(np.isfinite(psi)) and np.all(np.isfinite(probe))
+
+
+@pytest.mark.parametrize("algo_cls", [tp.RpieOptions, tp.LstsqOptions])
+def test_fused_constant_probe_photons_matches_per_epoch(algo_cls):
+    """rescale_method='constant_probe_photons' runs inside the fused
+    program (reference applies it every rescale_period epochs,
+    `ptycho/ptycho.py:783-795`) and matches the per-epoch path."""
+    f = _run(
+        algo_cls, fused=True,
+        rescale_method="constant_probe_photons", rescale_period=2,
+        num_iter=4,
+    )
+    p = _run(
+        algo_cls, fused=False,
+        rescale_method="constant_probe_photons", rescale_period=2,
+        num_iter=4,
+    )
+    np.testing.assert_allclose(f[0], p[0], rtol=1e-4)  # costs
+    np.testing.assert_allclose(f[2], p[2], rtol=1e-3, atol=1e-5)  # probe
+    np.testing.assert_allclose(f[1], p[1], rtol=1e-3, atol=1e-5)  # psi
+    # Photon counts agree between the paths (the count is pinned at each
+    # rescale instant; subsequent probe updates drift it identically).
+    np.testing.assert_allclose(
+        np.sum(np.abs(f[2]) ** 2), np.sum(np.abs(p[2]) ** 2), rtol=1e-4
+    )

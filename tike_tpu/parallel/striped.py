@@ -481,6 +481,7 @@ class StripedState:
             probe2, pwr, psi_pre, probe_pre = _epoch_begin_math(
                 plan, comm, psi_l, probe, scan_l,
                 local(batch_idx), local(batch_mask), recover_now,
+                epoch_idx,
             )
             psi_acc0, probe_acc0, pos_acc0, pcomb0 = _batch_sweep_init(
                 plan, psi_l, probe2, scan_l

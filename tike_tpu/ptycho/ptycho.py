@@ -386,11 +386,6 @@ class Reconstruction:
                 "LSQML is single-slice (like the reference); use rpie "
                 "for multislice objects"
             )
-        if algo.rescale_method != "mean_of_abs_object":
-            raise ValueError(
-                "striped mode implements rescale_method="
-                "'mean_of_abs_object' only (like the fused path)"
-            )
         margin = 8
         multi = jax.process_count() > 1
         if multi and self._seed is None:
@@ -436,6 +431,22 @@ class Reconstruction:
                 )
             logger.info("Probe rescaled by %f (striped mode)", scale)
             probe = probe * scale
+            if np.isnan(p.probe_options.probe_photons):
+                # Parity with _rescale_probe_helper: derive the photon
+                # target from the freshly-rescaled probe.
+                p.probe_options.probe_photons = float(
+                    np.sum(np.square(np.abs(probe)))
+                )
+        if algo.rescale_method == "constant_probe_photons" and (
+            p.probe_options is None
+            or not np.isfinite(p.probe_options.probe_photons)
+        ):
+            raise ValueError(
+                "rescale_method='constant_probe_photons' requires "
+                "probe_options.probe_photons (set it explicitly, or enable "
+                "init_rescale_from_measurements to derive it from the "
+                "rescaled probe)"
+            )
         ew = p.exitwave_options
         popt = p.position_options
         plan = self._make_plan(p, num_iter=1)
@@ -584,7 +595,15 @@ class Reconstruction:
             and positions_ok
             and not isinstance(self.data, np.ndarray)
             and getattr(self.data, "ndim", 0) == 4
-            and p.algorithm_options.rescale_method == "mean_of_abs_object"
+            and (
+                p.algorithm_options.rescale_method == "mean_of_abs_object"
+                or (
+                    p.algorithm_options.rescale_method
+                    == "constant_probe_photons"
+                    and p.probe_options is not None
+                    and np.isfinite(p.probe_options.probe_photons)
+                )
+            )
             and p.algorithm_options.time_limit == np.inf
         )
 
@@ -646,7 +665,16 @@ class Reconstruction:
             positivity=float(oopts.positivity_constraint) if oopts else 0.0,
             smoothness=float(oopts.smoothness_constraint) if oopts else 0.0,
             clip_magnitude=bool(oopts.clip_magnitude) if oopts else False,
-            rescale_mean_abs=oopts is not None,
+            rescale_mean_abs=(
+                oopts is not None
+                and algo.rescale_method == "mean_of_abs_object"
+            ),
+            rescale_photons=(
+                float(popts.probe_photons)
+                if popts is not None
+                and algo.rescale_method == "constant_probe_photons"
+                else 0.0
+            ),
             rescale_period=algo.rescale_period,
             alpha=float(getattr(algo, "alpha", 0.05)),
             fft_precond=solvers._preconditioner.USE_FFT_PRECOND,

@@ -107,6 +107,10 @@ class EpochPlan:
     # FFT-formulation preconditioners (single-slice; exact — see
     # _preconditioner.py). Static so flipping it retraces the program.
     fft_precond: bool = False
+    # rescale_method='constant_probe_photons': rescale shared probe modes
+    # to this photon count every rescale_period epochs (0 = off; the
+    # reference's `ptycho/ptycho.py:783-795`).
+    rescale_photons: float = 0.0
 
 
 def _probe_constraints_math(plan: EpochPlan, probe):
@@ -179,7 +183,7 @@ class StripeComm:
 
 def _epoch_begin_math(
     plan: EpochPlan, comm, psi, probe, scan, batch_idx, batch_mask,
-    recover_now,
+    recover_now, total_e,
 ):
     """Data-free start of an epoch: gated probe constraints and the
     whole-epoch preconditioners (both depend only on psi/probe/scan, never
@@ -193,6 +197,16 @@ def _epoch_begin_math(
         pwr = jnp.sum(
             (probe * jnp.conj(probe)).real, axis=(-2, -1)
         ).reshape(-1)
+    if plan.rescale_photons > 0:
+        # rescale_method='constant_probe_photons' applies with the
+        # start-of-epoch constraints, gated on the epochs completed so far
+        # (the reference's `len(costs) % rescale_period == 0`,
+        # `ptycho/ptycho.py:783-795`) and independent of probe recovery.
+        do_rp = (total_e % plan.rescale_period) == 0
+        rescaled = probe_module.rescale_probe_using_fixed_intensity_photons(
+            probe, Nphotons=plan.rescale_photons, probe_power_fraction=None
+        )
+        probe = jnp.where(do_rp, rescaled, probe)
 
     # Preconditioners over all batches: one FFT-formulation program when
     # single-slice (exact — tests/ptycho/test_precond_fft.py), else a
@@ -291,7 +305,8 @@ def _epoch_math(
         (total_e % plan.update_period) == 0,
     )
     probe, pwr, psi_pre, probe_pre = _epoch_begin_math(
-        plan, comm, psi, probe, scan, batch_idx, batch_mask, recover_now
+        plan, comm, psi, probe, scan, batch_idx, batch_mask, recover_now,
+        total_e,
     )
 
     # Mini-batch sweep.
