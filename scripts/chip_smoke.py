@@ -74,6 +74,59 @@ def _ptycho():
     assert np.all(np.isfinite(costs)) and costs[-1] < costs[0], costs
 
 
+@check("ptycho striped (fused + host-streamed, 1-device mesh)")
+def _striped():
+    import tike_tpu.ptycho as tp
+    from tike_tpu.parallel import make_mesh
+
+    h, p, n = 96, 16, 96
+    yy, xx = np.mgrid[0:h, 0:h] / h
+    psi = np.exp(1j * 0.4 * np.sin(5 * yy) * np.cos(3 * xx)).astype(
+        np.complex64
+    )[None]
+    probe = (tp.gaussian(p) * np.exp(1j * 0.2 * tp.gaussian(p)))[
+        None, None, None
+    ].astype(np.complex64)
+    scan = np.stack(
+        [rng.uniform(2, h - p - 3, n), rng.uniform(2, h - p - 3, n)], -1
+    ).astype(np.float32)
+    data = tp.simulate(p, probe, scan, psi).astype(np.float32)
+    mesh = make_mesh(1)
+    for stream in (False, True):
+        params = tp.PtychoParameters(
+            probe=probe.copy(),
+            psi=np.full_like(psi, 0.5),
+            scan=scan.copy(),
+            algorithm_options=tp.RpieOptions(
+                num_batch=2,
+                num_iter=3,
+                batch_method="compact",
+                rescale_method="constant_probe_photons",
+                rescale_period=2,
+            ),
+            object_options=tp.ObjectOptions(),
+            probe_options=tp.ProbeOptions(
+                init_rescale_from_measurements=False,
+                probe_photons=float(np.sum(np.abs(probe) ** 2)),
+            ),
+        )
+        with tp.Reconstruction(
+            data,
+            params,
+            mesh=mesh,
+            object_sharding="striped",
+            store_data_on_device=not stream,
+            random_seed=0,
+        ) as ctx:
+            ctx.iterate(3)
+            result = ctx.get_result()
+        costs = [float(np.mean(c)) for c in result.algorithm_options.costs]
+        assert np.all(np.isfinite(costs)) and costs[-1] < costs[0], (
+            stream,
+            costs,
+        )
+
+
 @check("ptycho multigrid")
 def _multigrid():
     import tike_tpu.ptycho as tp
