@@ -65,3 +65,34 @@ class TestMultigrid(unittest.TestCase):
 
 if __name__ == "__main__":
     unittest.main()
+
+
+def test_multigrid_striped_object():
+    """reconstruct_multigrid composes with object_sharding='striped'
+    (the reference's multigrid inherits its implicit multi-GPU psi
+    striping at every level)."""
+    from tike_tpu.parallel import make_mesh
+
+    data, scan, probe, psi = siemens_star_subset()
+    params = tp.PtychoParameters(
+        psi=psi,
+        probe=probe,
+        scan=scan,
+        algorithm_options=tp.RpieOptions(
+            num_iter=2, num_batch=2, batch_method="compact"
+        ),
+        object_options=tp.ObjectOptions(),
+        probe_options=tp.ProbeOptions(
+            init_rescale_from_measurements=False
+        ),
+    )
+    result = tp.reconstruct_multigrid(
+        data,
+        params,
+        num_levels=2,
+        mesh=make_mesh(),
+        object_sharding="striped",
+    )
+    costs = [float(np.mean(c)) for c in result.algorithm_options.costs]
+    assert np.all(np.isfinite(costs))
+    assert result.psi.shape == psi.shape

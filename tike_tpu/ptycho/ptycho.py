@@ -1491,8 +1491,15 @@ def reconstruct_multigrid(
     num_levels: int = 3,
     interp: typing.Callable = None,
     mesh=None,
+    object_sharding: str = "replicated",
+    store_data_on_device: typing.Optional[bool] = None,
 ) -> PtychoParameters:
-    """Coarse-to-fine reconstruction (`ptycho/ptycho.py:975-1047`)."""
+    """Coarse-to-fine reconstruction (`ptycho/ptycho.py:975-1047`).
+
+    ``object_sharding="striped"`` decomposes the object at every level
+    (the reference's multigrid inherits its implicit multi-GPU psi
+    striping); ``store_data_on_device=False`` streams batches from host
+    RAM at every level."""
     from .solvers.options import _resize_fft, crop_fourier_space
 
     interp = _resize_fft if interp is None else interp
@@ -1513,6 +1520,8 @@ def reconstruct_multigrid(
             num_gpu=num_gpu,
             use_mpi=use_mpi,
             mesh=mesh,
+            object_sharding=object_sharding,
+            store_data_on_device=store_data_on_device,
         ) as context:
             context.iterate(resampled_parameters.algorithm_options.num_iter)
             result = context.get_result()
