@@ -291,5 +291,50 @@ class TestPtychoSimulate(unittest.TestCase):
         )
 
 
+def test_replicated_host_streaming_matches_device_resident():
+    """store_data_on_device=False (double-buffered host streaming) matches
+    the device-resident per-epoch path on the replicated layout (the
+    reference's pinned-memory streaming role, `stream.py`)."""
+    import numpy as np
+    import tike_tpu.ptycho as tp
+    from .templates import siemens_star_subset
+
+    data, scan, probe, psi = siemens_star_subset()
+
+    def run(on_device):
+        params = tp.PtychoParameters(
+            psi=psi.copy(),
+            probe=probe.copy(),
+            scan=scan.copy(),
+            algorithm_options=tp.RpieOptions(
+                num_iter=3, num_batch=3, batch_method="compact"
+            ),
+            object_options=tp.ObjectOptions(),
+            probe_options=tp.ProbeOptions(
+                init_rescale_from_measurements=False
+            ),
+        )
+        with tp.Reconstruction(
+            data,
+            params,
+            random_seed=0,
+            store_data_on_device=on_device,
+        ) as ctx:
+            ctx.iterate(3)
+            return ctx.get_result()
+
+    d = run(True)
+    h = run(False)
+    cd = [float(np.mean(c)) for c in d.algorithm_options.costs]
+    ch = [float(np.mean(c)) for c in h.algorithm_options.costs]
+    np.testing.assert_allclose(ch, cd, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(h.psi), np.asarray(d.psi), rtol=1e-3, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(h.probe), np.asarray(d.probe), rtol=1e-3, atol=1e-5
+    )
+
+
 if __name__ == "__main__":
     unittest.main()
