@@ -21,6 +21,7 @@ def scenarios():
         ("dp_lstsq_wobbly", "replicated", "lstsq_grad", {"wobbly": True}),
         ("dp_rpie_eigen", "replicated", "rpie", {"eigen": True}),
         ("striped_rpie", "striped", "rpie", {"rescale": True}),
+        ("striped_rpie_streamed", "striped", "rpie", {"stream": True}),
         ("striped_lstsq_opr_pos", "striped", "lstsq_grad",
          {"eigen": True, "positions": True}),
         ("lamino_cgrad_theta", "lamino", "cgrad", {}),
@@ -100,9 +101,18 @@ def run_scenario(name, sharding, algo, feat, mesh, dist):
             scan, psi_shape[-2:], probe.shape[-1], mesh
         )
         data_local = data[local_idx]
-        result = tp.reconstruct(
-            data_local, params, mesh=mesh, object_sharding="striped"
-        )
+        # stream=True: the multi-host x host-streaming x striped-object
+        # composition — per-process data blocks stay in host RAM and
+        # batches are device_put one at a time.
+        with tp.Reconstruction(
+            data_local,
+            params,
+            mesh=mesh,
+            object_sharding="striped",
+            store_data_on_device=not feat.get("stream"),
+        ) as context:
+            context.iterate(params.algorithm_options.num_iter)
+            result = context.get_result()
     else:
         # Production DP: per-process data stripe, global SPMD program.
         local_idx = dist.stripe_for_process(scan)

@@ -207,17 +207,23 @@ class Reconstruction:
         )
         self.data_host = data
         self.parameters_host = copy.deepcopy(parameters)
-        if store_data_on_device is False and self._is_multi_host():
+        if (
+            store_data_on_device is False
+            and self._is_multi_host()
+            and object_sharding != "striped"
+        ):
             raise ValueError(
                 "host-streaming mode (store_data_on_device=False) is not "
-                "implemented for the multi-host layout: each process's "
+                "implemented for the multi-host DP layout: each process's "
                 "stripe is assembled into one globally-sharded device "
-                "array. Raise num_batch or use more processes so the "
-                "per-process stripe fits in HBM."
+                "array. Raise num_batch, use more processes so the "
+                "per-process stripe fits in HBM, or use "
+                "object_sharding='striped' (its streamed epoch feeds "
+                "batches from host RAM)."
             )
         # store_data_on_device=False composes with object_sharding=
-        # "striped": the striped epoch streams one batch at a time from
-        # host RAM (>HBM data together with a >HBM object).
+        # "striped" (single- or multi-host): the striped epoch streams one
+        # batch at a time from host RAM (>HBM data with a >HBM object).
         if store_data_on_device is None:
             # Stream from host when the dataset is a large fraction of HBM
             # (v5e/v5p chips have 16-96 GB); 4 GB is a conservative cut.
