@@ -69,7 +69,7 @@ def test_joint_admm_runs_and_reduces_cost():
         tilt=np.pi / 2,
         voxelsize=voxelsize,
         energy=energy,
-        num_iter=3,
+        num_iter=8,
         rho=0.5,
         ptycho_iter=2,
         lamino_iter=2,
@@ -77,4 +77,8 @@ def test_joint_admm_runs_and_reduces_cost():
     costs = result["costs"]
     assert np.all(np.isfinite(costs)), costs
     assert costs[-1] < costs[0], costs
+    # Monotone descent across 8 iterations (16 cumulative ptycho epochs):
+    # regression guard for the mid-run object rescale that desynced the
+    # consensus variables and made the iteration diverge at epoch 10.
+    assert all(b < a * 1.05 for a, b in zip(costs, costs[1:])), costs
     assert result["obj"].shape == (n, n, n)

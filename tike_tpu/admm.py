@@ -20,7 +20,7 @@ ADMM iteration (rho = penalty, lamda = scaled dual):
   2. phi_t  = -i/k * log(psi_t + lamda_t/rho) / voxelsize
   3. obj    <- laminography CG fit of phi
   4. hobj_t = exp(i k voxelsize P_t(obj))
-  5. lamda += rho (hobj - psi)
+  5. lamda += rho (psi - hobj)
 """
 
 from __future__ import annotations
@@ -88,6 +88,14 @@ def reconstruct_joint_admm(
     hobj = np.ones_like(psi)
     lamda = np.zeros_like(psi)
     params = [copy.deepcopy(p) for p in parameters]
+    for p in params:
+        # The periodic object-magnitude rescale fixes the psi/probe scale
+        # degeneracy of STANDALONE ptychography; under ADMM the consensus
+        # constraint psi = h(obj) already anchors psi's scale (|h| = 1
+        # transmission), and a mid-run rescale of psi/probe would desync
+        # them from hobj/lamda (observed: probe power jumps ~3x when the
+        # rescale fires and the iteration diverges). Disable it.
+        p.algorithm_options.rescale_period = int(1e9)
     costs = []
 
     for it in range(num_iter):
@@ -101,9 +109,18 @@ def reconstruct_joint_admm(
                 float(np.mean(params[t].algorithm_options.costs[-1]))
             )
             target = hobj[t] - lamda[t] / rho
-            psi[t] = (
-                np.asarray(params[t].psi)[0] + rho * target
-            ) / (1 + rho)
+            raw = np.asarray(params[t].psi)[0]
+            # Gauge fix: diffraction intensities are invariant to a global
+            # phase on psi, so each angle's ptychography drifts by an
+            # arbitrary constant — which log-linearizes into a constant
+            # offset of phi_t that is NOT consistent across angles and
+            # destroys the tomographic fit. Choose the gauge
+            # representative closest to the consensus target (iteration
+            # 0: hobj=1 anchors air regions at zero phase).
+            z = np.vdot(target, raw)
+            if np.abs(z) > 0:
+                raw = raw * (np.conj(z) / np.abs(z))
+            psi[t] = (raw + rho * target) / (1 + rho)
         costs.append(float(np.mean(angle_costs)))
 
         # 2. Log-linearize the projections.
@@ -136,8 +153,14 @@ def reconstruct_joint_admm(
         ) * voxelsize
         hobj = np.exp(1j * k * line_integrals).astype(np.complex64)
 
-        # 5. Dual update.
-        lamda = lamda + rho * (hobj - psi)
+        # 5. Dual ascent on the residual of the constraint psi = h(obj).
+        # With the augmented Lagrangian written on (psi - h) — the same
+        # convention as the psi-target h - lamda/rho in step 1 and the
+        # fit to psi + lamda/rho in step 2 — the multiplier must ascend
+        # along (psi - hobj). (The legacy reference ships this update
+        # commented out with the opposite sign, `src/broken/tike.py:172`;
+        # that sign makes the iteration diverge once residuals grow.)
+        lamda = lamda + rho * (psi - hobj)
         logger.info(
             "ADMM iteration %d: ptycho cost %.3e", it, costs[-1]
         )
