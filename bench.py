@@ -40,7 +40,8 @@ def _run_with_retries(argv, attempts=3, timeout_s=900, backoff_s=180):
                 file=sys.stderr,
                 flush=True,
             )
-            time.sleep(backoff_s)
+            if attempt + 1 < attempts:
+                time.sleep(backoff_s)
             continue
         line = next(
             (
@@ -59,7 +60,8 @@ def _run_with_retries(argv, attempts=3, timeout_s=900, backoff_s=180):
             file=sys.stderr,
             flush=True,
         )
-        time.sleep(backoff_s)
+        if attempt + 1 < attempts:
+            time.sleep(backoff_s)
     return 1
 
 

@@ -22,6 +22,11 @@ def scenarios():
         ("dp_rpie_eigen", "replicated", "rpie", {"eigen": True}),
         ("striped_rpie", "striped", "rpie", {"rescale": True}),
         ("striped_rpie_streamed", "striped", "rpie", {"stream": True}),
+        # All positions cluster in rank 0's stripes: rank 1 holds an empty
+        # data block while rank 0's block equals the full dataset — the
+        # auto-rescale's collective-entry decision must still agree.
+        ("striped_rpie_degenerate", "striped", "rpie",
+         {"rescale": True, "clustered": True}),
         ("striped_lstsq_opr_pos", "striped", "lstsq_grad",
          {"eigen": True, "positions": True}),
         ("lamino_cgrad_theta", "lamino", "cgrad", {}),
@@ -62,6 +67,30 @@ def run_scenario(name, sharding, algo, feat, mesh, dist):
         return run_bucket(name, mesh)
 
     data, scan, probe, psi_shape = build_problem()
+    if feat.get("clustered"):
+        # Confine every position to the top quarter of the field so one
+        # rank's stripes cover all of them.
+        rng = np.random.default_rng(5)
+        h, p_w = psi_shape[-2], probe.shape[-1]
+        scan = np.stack(
+            [
+                rng.uniform(2, h // 4, scan.shape[0]),
+                rng.uniform(2, h - p_w - 3, scan.shape[0]),
+            ],
+            -1,
+        ).astype(np.float32)
+        import tike_tpu.ptycho as _tp
+
+        data = _tp.simulate(
+            detector_shape=p_w,
+            probe=probe,
+            scan=scan,
+            psi=np.exp(
+                1j
+                * 0.5
+                * np.sin(5 * np.mgrid[0:h, 0:h][0] / h)
+            ).astype(np.complex64)[None],
+        ).astype(np.float32)
     n = scan.shape[0]
     m = probe.shape[-3]
     kwargs = {}

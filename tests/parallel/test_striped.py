@@ -743,3 +743,36 @@ def test_striped_constant_probe_photons_matches_replicated():
         np.sum(np.abs(np.asarray(res_r.probe)) ** 2),
         rtol=0.05,
     )
+
+
+@pytest.mark.parametrize("stream", [False, True])
+def test_striped_classical_momentum_runs(stream):
+    """Striped mode with lstsq classical momentum (obj adaptive moment +
+    non-compact batches): regression for the shard_map spec crash when
+    obj_v stays a rank-0 scalar ('momentum' allocates only obj_m)."""
+    psi_true, probe, scan, data = _setup(n=128)
+    mesh = make_mesh()
+    params = tp.PtychoParameters(
+        probe=probe.copy(),
+        psi=np.full_like(psi_true, 0.5),
+        scan=scan.copy(),
+        algorithm_options=tp.LstsqOptions(
+            num_batch=2, num_iter=2, batch_method="wobbly_center"
+        ),
+        object_options=tp.ObjectOptions(use_adaptive_moment=True),
+        probe_options=tp.ProbeOptions(
+            init_rescale_from_measurements=False
+        ),
+    )
+    with tp.Reconstruction(
+        data,
+        params,
+        mesh=mesh,
+        object_sharding="striped",
+        store_data_on_device=not stream,
+        random_seed=0,
+    ) as ctx:
+        ctx.iterate(2)
+        result = ctx.get_result()
+    costs = [float(np.mean(c)) for c in result.algorithm_options.costs]
+    assert np.all(np.isfinite(costs)) and costs[-1] < costs[0], costs

@@ -140,6 +140,18 @@ def estimate_probe_rescale(
     return float(np.sqrt(measured / (model + 1e-32)))
 
 
+def local_row_lookup(n: int, local_indices: np.ndarray) -> np.ndarray:
+    """(n,) map from global position index to this process's data row.
+
+    Encodes the per-process data-row contract (``striped_local_indices``):
+    entry i is the row of the local block holding global position i, or -1
+    when this process does not own it.
+    """
+    lookup = np.full(n, -1, np.int64)
+    lookup[np.asarray(local_indices)] = np.arange(len(local_indices))
+    return lookup
+
+
 def _rescale_sample(
     n: int, sample: int, rng: np.random.Generator
 ) -> np.ndarray:
@@ -196,10 +208,7 @@ def estimate_probe_rescale_multihost(
     rng = np.random.default_rng(0) if rng is None else rng
     sel = _rescale_sample(scan.shape[0], sample, rng)
     model = _sampled_model_power(psi, probe, scan, sel)
-    local_indices = np.asarray(local_indices)
-    lookup = np.full(scan.shape[0], -1, np.int64)
-    lookup[local_indices] = np.arange(len(local_indices))
-    rows = lookup[sel]
+    rows = local_row_lookup(scan.shape[0], local_indices)[sel]
     measured_local = np.float64(np.sum(data_local[rows[rows >= 0]]))
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
@@ -247,10 +256,12 @@ class StripedState:
     unmeasured_pixels_scaling: float
     epochs_done: int = 0
     last_powers: typing.Any = None  # (E, modes) per-epoch probe mode power
-    # Host-streaming mode (>HBM data): this process's batch-major block
-    # (n_own, nb, L, DET, DET) stays in host RAM; batches are device_put
-    # double-buffered into the per-batch program (`data` is None).
+    # Host-streaming mode (>HBM data): the caller's per-process data array
+    # stays in host RAM (`data` is None); data_rows (n_own, nb, L) maps
+    # each batch slot to its row (-1 = padding) and batches are gathered
+    # and device_put double-buffered into the per-batch program.
     data_host: typing.Any = None
+    data_rows: typing.Any = None
     _programs: dict = dataclasses.field(default_factory=dict)
     _rng: np.random.Generator = dataclasses.field(
         default_factory=lambda: np.random.default_rng(0)
@@ -272,8 +283,11 @@ class StripedState:
 
         has_eigen = plan.has_eigen
         has_pos = plan.recover_positions
-        obj_mom = plan.obj_moment != "none"
-        obj_mom_dev = obj_mom  # psi-shaped states live with the stripe
+        # psi-shaped moment states live with the stripe; classical
+        # 'momentum' only allocates obj_m (obj_v stays a rank-0 scalar
+        # and must keep a replicated spec or shard_map rejects it).
+        om_dev = plan.obj_moment != "none"
+        ov_dev = plan.obj_moment in ("adam", "checked")
         probe_mom = plan.probe_moment != "none"
 
         def run(
@@ -309,8 +323,8 @@ class StripedState:
             ew_l = local(eigen_w) if has_eigen else None
             pv_l = local(pos_v) if has_pos else pos_v
             pm_l = local(pos_m) if has_pos else pos_m
-            ov_l = local(obj_v) if obj_mom_dev else obj_v
-            om_l = local(obj_m) if obj_mom_dev else obj_m
+            ov_l = local(obj_v) if ov_dev else obj_v
+            om_l = local(obj_m) if om_dev else obj_m
 
             def epoch_body(carry, e):
                 return _epoch_math(
@@ -370,8 +384,8 @@ class StripedState:
                 scan_l[None],
                 pv_l[None] if has_pos else pos_v,
                 pm_l[None] if has_pos else pos_m,
-                ov_l[None] if obj_mom_dev else obj_v,
-                om_l[None] if obj_mom_dev else obj_m,
+                ov_l[None] if ov_dev else obj_v,
+                om_l[None] if om_dev else obj_m,
                 probe_v,
                 probe_m,
                 err_hist,
@@ -395,8 +409,8 @@ class StripedState:
             dev,  # pos_mask
             dev if has_pos else rep,  # pos_v
             dev if has_pos else rep,  # pos_m
-            dev if obj_mom_dev else rep,  # obj_v
-            dev if obj_mom_dev else rep,  # obj_m
+            dev if ov_dev else rep,  # obj_v
+            dev if om_dev else rep,  # obj_m
             rep,  # probe_v
             rep,  # probe_m
             rep,  # err_hist
@@ -412,8 +426,8 @@ class StripedState:
             dev,  # scan
             dev if has_pos else rep,  # pos_v
             dev if has_pos else rep,  # pos_m
-            dev if obj_mom_dev else rep,  # obj_v
-            dev if obj_mom_dev else rep,  # obj_m
+            dev if ov_dev else rep,  # obj_v
+            dev if om_dev else rep,  # obj_m
             rep,  # probe_v
             rep,  # probe_m
             rep,  # err_hist
@@ -459,7 +473,8 @@ class StripedState:
         rep = P()
         has_eigen = plan.has_eigen
         has_pos = plan.recover_positions
-        obj_mom = plan.obj_moment != "none"
+        om_dev = plan.obj_moment != "none"
+        ov_dev = plan.obj_moment in ("adam", "checked")
         probe_mom = plan.probe_moment != "none"
         nb = self._nb()
         local = lambda x: x[0]
@@ -529,8 +544,8 @@ class StripedState:
             dev,  # probe_acc
             dev,  # pos_num
             dev,  # pos_den
-            dev if obj_mom else rep,  # obj_v
-            dev if obj_mom else rep,  # obj_m
+            dev if ov_dev else rep,  # obj_v
+            dev if om_dev else rep,  # obj_m
             dev if probe_mom else rep,  # probe_v
             dev if probe_mom else rep,  # probe_m
             dev,  # pcomb
@@ -554,8 +569,8 @@ class StripedState:
                 local(probe_acc),
                 local(pos_num),
                 local(pos_den),
-                local(obj_v) if obj_mom else obj_v,
-                local(obj_m) if obj_mom else obj_m,
+                local(obj_v) if ov_dev else obj_v,
+                local(obj_m) if om_dev else obj_m,
                 local(probe_v) if probe_mom else probe_v,
                 local(probe_m) if probe_mom else probe_m,
                 local(pcomb),
@@ -577,8 +592,8 @@ class StripedState:
                 probe_acc[None],
                 pos_num[None],
                 pos_den[None],
-                obj_v[None] if obj_mom else obj_v,
-                obj_m[None] if obj_mom else obj_m,
+                obj_v[None] if ov_dev else obj_v,
+                obj_m[None] if om_dev else obj_m,
                 probe_v[None] if probe_mom else probe_v,
                 probe_m[None] if probe_mom else probe_m,
                 pcomb[None],
@@ -697,8 +712,8 @@ class StripedState:
                 scan_l[None],
                 pos_v2[None] if has_pos else pos_v2,
                 pos_m2[None] if has_pos else pos_m2,
-                obj_v[None] if obj_mom else obj_v,
-                obj_m[None] if obj_mom else obj_m,
+                obj_v[None] if ov_dev else obj_v,
+                obj_m[None] if om_dev else obj_m,
                 probe_v,
                 probe_m,
                 err_hist,
@@ -732,8 +747,8 @@ class StripedState:
                     dev,  # scan
                     dev if has_pos else rep,  # pos_v
                     dev if has_pos else rep,  # pos_m
-                    dev if obj_mom else rep,  # obj_v
-                    dev if obj_mom else rep,  # obj_m
+                    dev if ov_dev else rep,  # obj_v
+                    dev if om_dev else rep,  # obj_m
                     rep,  # probe_v
                     rep,  # probe_m
                     rep,  # err_hist
@@ -857,8 +872,7 @@ def setup_striped_full(
                 f"stripes cover {len(local_idx)} (or pass the full "
                 f"{scan.shape[0]})"
             )
-        data_lookup = np.full(scan.shape[0], -1, np.int64)
-        data_lookup[local_idx] = np.arange(len(local_idx))
+        data_lookup = local_row_lookup(scan.shape[0], local_idx)
 
     # --- per-stripe mini-batch clustering --------------------------------
     method = cluster.BATCH_METHODS[batch_method]
@@ -896,7 +910,16 @@ def setup_striped_full(
 
     # --- assemble stripe-major arrays (this process's rows only) ---------
     n_own = len(own)
-    data_s = np.zeros((n_own, nb, L, det, det), np.float32)
+    # Streaming mode keeps the caller's array as the single host copy and
+    # gathers one batch at a time through data_rows (materializing a
+    # second full-size batch-major copy would double peak host RAM for
+    # exactly the >HBM datasets the mode exists for).
+    data_s = (
+        np.zeros((n_own, nb, L, det, det), np.float32)
+        if store_data_on_device
+        else None
+    )
+    data_rows = np.full((n_own, nb, L), -1, np.int64)
     scan_s = np.zeros((n_own, cap, 2), np.float32)
     pos_mask = np.zeros((n_own, cap), np.float32)
     bidx_s = np.zeros((n_own, nb, L), np.int32)
@@ -934,7 +957,9 @@ def setup_striped_full(
                 if data_lookup is not None:
                     gsel = data_lookup[gsel]
                     assert np.all(gsel >= 0)
-                data_s[j, b, : len(rows)] = data[gsel]
+                data_rows[j, b, : len(rows)] = gsel
+                if data_s is not None:
+                    data_s[j, b, : len(rows)] = data[gsel]
             if ew_s is not None:
                 ew_s[j, :nk] = eigen_weights[sel]
             if pvm is not None:
@@ -1049,10 +1074,12 @@ def setup_striped_full(
         height=h,
         order=order,
         psi=put_dev(psi_s),
-        # Streaming mode (>HBM data): the batch-major block stays in host
-        # RAM; _striped_iterate_streamed feeds one batch at a time.
+        # Streaming mode (>HBM data): the caller's array stays the single
+        # host copy; _striped_iterate_streamed gathers one batch at a time
+        # through data_rows.
         data=put_dev(data_s) if store_data_on_device else None,
-        data_host=None if store_data_on_device else data_s,
+        data_host=None if store_data_on_device else data,
+        data_rows=None if store_data_on_device else data_rows,
         scan=put_dev(scan_s),
         batch_idx=put_dev(bidx_s),
         batch_mask=put_dev(bmask_s),
@@ -1103,11 +1130,14 @@ def _striped_iterate_streamed(
     dev_sharding = NamedSharding(state.mesh, P(BATCH_AXIS))
 
     def put_batch(b):
-        return put_process_local(
-            np.ascontiguousarray(state.data_host[:, b]),
-            dev_sharding,
-            state.comm.ndev,
+        # One batch-sized gather from the caller's array (the only host
+        # copy); padded slots read row 0 and are zeroed.
+        rows = state.data_rows[:, b]
+        block = np.asarray(
+            state.data_host[np.maximum(rows, 0)], dtype=np.float32
         )
+        block[rows < 0] = 0.0
+        return put_process_local(block, dev_sharding, state.comm.ndev)
 
     sls = jnp.asarray(state.step_length_start, jnp.float32)
     slw = jnp.asarray(state.step_length_weight, jnp.float32)
@@ -1221,10 +1251,13 @@ def _striped_iterate_streamed(
             state.eigen_w = eigen_w
             state.eigen_p = eigen_p
         state.epochs_done += 1
-        ecosts.append(float(to_host(epoch_cost)))
-        powers.append(to_host(pwr_out))
-    state.last_powers = np.stack(powers)
-    return ecosts
+        # Device handles only: converting here would drain the device
+        # queue at every epoch boundary and stall the next epoch's
+        # dispatch/prefetch.
+        ecosts.append(epoch_cost)
+        powers.append(pwr_out)
+    state.last_powers = np.stack([to_host(p_) for p_ in powers])
+    return [float(to_host(c)) for c in ecosts]
 
 
 def striped_iterate(state: StripedState, n_epochs: int) -> typing.List[float]:

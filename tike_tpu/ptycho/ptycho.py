@@ -159,9 +159,19 @@ class Reconstruction:
         if object_sharding == "striped" and mesh is None:
             raise ValueError("object_sharding='striped' requires a mesh")
         self.object_sharding = object_sharding
+        # A multi-host striped run may legitimately pass a zero-length
+        # block: a process whose stripes contain no scan positions (the
+        # striped_local_indices contract) still participates in the
+        # collectives.
+        min_patterns = (
+            0
+            if object_sharding == "striped" and jax.process_count() > 1
+            else 1
+        )
         if (
-            np.any(np.asarray(data.shape) < 1)
-            or data.ndim != 3
+            data.ndim != 3
+            or data.shape[0] < min_patterns
+            or np.any(np.asarray(data.shape[-2:]) < 1)
             or data.shape[-2] != data.shape[-1]
         ):
             raise ValueError(
@@ -329,9 +339,11 @@ class Reconstruction:
                 local_idx = dist.stripe_for_process(
                     scan_full, num_processes=n_proc, process_id=pid
                 )
-                lookup = np.full(scan_full.shape[0], -1, np.int64)
-                lookup[local_idx] = np.arange(len(local_idx))
-                rows = lookup[order_segment]
+                from tike_tpu.parallel.striped import local_row_lookup
+
+                rows = local_row_lookup(scan_full.shape[0], local_idx)[
+                    order_segment
+                ]
                 assert np.all(rows >= 0), (
                     "local data rows do not match stripe_for_process(scan)"
                 )
@@ -408,7 +420,23 @@ class Reconstruction:
         ):
             scan_full = np.asarray(p.scan)
             data_arr = np.asarray(self.data_host)
-            if multi and data_arr.shape[0] != scan_full.shape[0]:
+            if multi:
+                # The branch below enters a collective, so the decision
+                # must be agreed globally: a process whose stripes happen
+                # to cover every position has a local block the size of
+                # the full dataset, and deciding from the local shape
+                # alone would deadlock the others in process_allgather.
+                from jax.experimental import multihost_utils
+
+                all_n = np.asarray(
+                    multihost_utils.process_allgather(
+                        np.int64(data_arr.shape[0])
+                    )
+                )
+                all_full = bool(np.all(all_n == scan_full.shape[0]))
+            else:
+                all_full = True
+            if multi and not all_full:
                 # Per-process data blocks: partial measured-power sums are
                 # combined across processes (identically-seeded rng keeps
                 # the sample and hence the scale in agreement).
