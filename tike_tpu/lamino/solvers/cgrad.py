@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import logging
 
-import jax.numpy as jnp
 import numpy as np
 
 import tike_tpu.linalg

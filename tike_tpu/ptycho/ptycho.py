@@ -1457,7 +1457,6 @@ def _rescale_probe(
     one fixed-shape program is compiled and padded slots (mask 0) are not
     double-counted.
     """
-    import functools
 
     @pair_jit(static_argnames=("cfg",))
     def sums(cfg, data_b, bmask, psi, scan_b, probe, measured_pixels):

@@ -13,7 +13,6 @@ chunks because its data is host-pinned; ours is device-resident).
 
 from __future__ import annotations
 
-import functools
 import os as _os
 
 import jax

@@ -12,7 +12,6 @@ gradients` indexes `psi[0]` / `object_upd_sum[0]` directly).
 
 from __future__ import annotations
 
-import functools
 import logging
 import typing
 
@@ -34,7 +33,6 @@ from tike_tpu.ops.ptycho import (
     PtychoConfig,
     _crop_from_detector,
     _pad_to_detector,
-    intensity_from_farplane,
 )
 from ..exitwave import (
     poisson_steplength_all_modes,
@@ -42,7 +40,7 @@ from ..exitwave import (
 )
 from ..position import gaussian_gradient
 from ..probe import get_varying_probe, update_eigen_probe
-from .options import LstsqOptions, PtychoParameters
+from .options import PtychoParameters
 from .rpie import _masked_mean_each_pattern
 
 logger = logging.getLogger(__name__)

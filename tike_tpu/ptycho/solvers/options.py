@@ -16,7 +16,6 @@ import dataclasses
 import typing
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import numpy.typing as npt
 
@@ -284,7 +283,6 @@ class PtychoParameters:
         reorder,
         stripe_start: typing.List[int],
     ) -> "PtychoParameters":
-        from ..object import ObjectOptions as _OO
 
         def join_psi(parts):
             joined = np.array(parts[0], copy=True)

@@ -17,7 +17,6 @@ Maiden & Rodenburg 2009 (Ultramicroscopy 109); Maiden, Johnson, Li 2017
 
 from __future__ import annotations
 
-import functools
 import logging
 import typing
 

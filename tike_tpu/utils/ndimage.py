@@ -7,7 +7,6 @@ small-window medians, which XLA fuses into a handful of elementwise passes.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

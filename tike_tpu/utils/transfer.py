@@ -16,7 +16,6 @@ Use ``scalar(x)`` instead of ``float(x)`` for device scalars.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
