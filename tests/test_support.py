@@ -153,6 +153,34 @@ class TestScanTrajectory:
         d = tike_tpu.trajectory.euclidian_dist_approx(theta, v, h)
         assert np.all(d <= 0.1 + 1e-6)
 
+    def test_coded_exposure_reference_vectors(self):
+        """Bit-exact parity with the reference's pinned test vectors
+        (`/root/reference/tests/test_trajectory.py:31-54`)."""
+        c_time = np.arange(11)
+        c_dwell = np.ones(11) * 0.5
+        time = np.array(
+            [-1.0, 0.8, 1.8, 3.0, 4.1, 4.2, 6.1, 7.5, 8.6, 8.9, 8.9,
+             8.9, 20, 21]
+        )
+        dwell = np.array(
+            [0.1, 0.2, 0.4, 0.5, 0.1, 0.1, 0.6, 0.2, 0.2, 2, 0, 0.3,
+             1.0, 1.0]
+        )
+        theta = np.arange(time.size)
+        v = np.arange(time.size)
+        h = np.arange(time.size)
+        th1, v1, h1, t1, d1, b1 = tike_tpu.trajectory.coded_exposure(
+            theta, v, h, time, dwell, c_time, c_dwell
+        )
+        np.testing.assert_equal(th1, [2, 3, 4, 5, 6, 9, 11, 9])
+        np.testing.assert_equal(v1, [2, 3, 4, 5, 6, 9, 11, 9])
+        np.testing.assert_equal(h1, [2, 3, 4, 5, 6, 9, 11, 9])
+        np.testing.assert_equal(t1, [2.0, 3.0, 4.1, 4.2, 6.1, 9.0, 9.0, 10.0])
+        np.testing.assert_allclose(
+            d1, [0.2, 0.5, 0.1, 0.1, 0.4, 0.5, 0.2, 0.5]
+        )
+        np.testing.assert_equal(b1, [0, 1, 2, 4, 5, 7])
+
     def test_coded_exposure_bins(self):
         time = np.arange(11).astype(float)
         dwell = np.full(11, 0.5)
