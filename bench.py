@@ -5,6 +5,19 @@ one solver epoch over 10k 128x128 patterns (128x128 probe). Baseline target is
 10,000 patterns/s (1 epoch < 1 s on one chip); vs_baseline = value / 10000.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Structured to fit the driver's ~900 s envelope (VERDICT r3 item 1):
+
+- The parent process is jax-free (the tunneled TPU backend can wedge so hard
+  that ``import jax`` hangs at interpreter start via sitecustomize).
+- Benchmark data is simulated ONCE in the parent (pure numpy) and cached to
+  /tmp so relay-wedge retries don't repay the simulation cost.
+- Each heavy attempt is preceded by a cheap 45 s "relay alive?" probe child;
+  a wedged relay costs 45 s per retry, not a full bench timeout.
+- A global deadline bounds the whole run, there is no sleep after the final
+  attempt, and the parent ALWAYS prints a parseable JSON line (an explicit
+  error record on total failure) and exits 0 so the driver records a value
+  instead of rc=124/parsed=null.
 """
 
 import json
@@ -15,54 +28,13 @@ import time
 
 import numpy as np
 
+_TOTAL_BUDGET_S = 780.0  # leave headroom inside the driver's ~900 s window
+_PROBE_TIMEOUT_S = 45.0
+_DATA_CACHE = "/tmp/tike_bench_data_v1.npz"
 
-def _run_with_retries(argv, attempts=3, timeout_s=900, backoff_s=180):
-    """Run the benchmark in a child process, retrying relay wedges.
 
-    The tunneled TPU backend occasionally wedges so hard that even
-    ``import jax`` hangs (the axon registration blocks at interpreter
-    start). The parent stays jax-free, bounds each attempt with a
-    timeout, and forwards the child's JSON line on success.
-    """
-    for attempt in range(attempts):
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child"]
-                + argv,
-                capture_output=True,
-                text=True,
-                timeout=timeout_s,
-            )
-        except subprocess.TimeoutExpired:
-            print(
-                f"bench attempt {attempt + 1}/{attempts}: timed out after "
-                f"{timeout_s}s (relay wedge?); retrying",
-                file=sys.stderr,
-                flush=True,
-            )
-            if attempt + 1 < attempts:
-                time.sleep(backoff_s)
-            continue
-        line = next(
-            (
-                ln
-                for ln in reversed(proc.stdout.splitlines())
-                if ln.startswith("{")
-            ),
-            None,
-        )
-        if proc.returncode == 0 and line is not None:
-            print(line, flush=True)
-            return 0
-        print(
-            f"bench attempt {attempt + 1}/{attempts} failed "
-            f"(rc={proc.returncode}):\n{proc.stderr[-2000:]}",
-            file=sys.stderr,
-            flush=True,
-        )
-        if attempt + 1 < attempts:
-            time.sleep(backoff_s)
-    return 1
+def _emit(record):
+    print(json.dumps(record), flush=True)
 
 
 def _simulate_numpy(det, probe, scan, psi):
@@ -101,23 +73,8 @@ def _simulate_numpy(det, probe, scan, psi):
     return out
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
-    import tike_tpu.ptycho as tp
-
-    n_patterns = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
-    solver = sys.argv[2] if len(sys.argv) > 2 else "lsqml"
-    det = 128
-    probe_shape = 128
-    num_batch = 10
-    hw = 1500
-
-    # Tiny warmup op: the tunneled backend's first program on a cold remote
-    # compiler is unreliable; a small program first stabilizes it.
-    jax.block_until_ready(jnp.ones((8, 128)) @ jnp.ones((128, 8)))
-
+def _make_inputs(n_patterns, det=128, probe_shape=128, hw=1500):
+    """Deterministic benchmark inputs (seed 0), matching BASELINE.json."""
     rng = np.random.default_rng(0)
     scan = np.stack(
         [
@@ -126,16 +83,136 @@ def main():
         ],
         -1,
     ).astype(np.float32)
-    probe = (
-        (tp.gaussian(probe_shape) * np.exp(1j * 0.2 * tp.gaussian(probe_shape)))
-    )[None, None, None].astype(np.complex64)
     yy, xx = np.mgrid[0:hw, 0:hw] / hw
     psi = (
         np.exp(1j * 0.5 * np.sin(17 * yy) * np.cos(13 * xx))
         * (0.9 + 0.1 * np.cos(23 * xx * yy))
     ).astype(np.complex64)[None]
+    # gaussian window without importing tike_tpu (parent stays jax-free)
+    r = np.arange(probe_shape) - (probe_shape - 1) / 2
+    g = np.exp(-(r**2) / (2 * (probe_shape / 6) ** 2))
+    win = (g[:, None] * g[None, :]).astype(np.float32)
+    probe = (win * np.exp(1j * 0.2 * win))[None, None, None].astype(np.complex64)
+    return scan, psi, probe
 
-    data = _simulate_numpy(det, probe, scan, psi)
+
+def _prepare_data(n_patterns):
+    """Simulate (or load cached) benchmark data in the jax-free parent."""
+    scan, psi, probe = _make_inputs(n_patterns)
+    if os.path.exists(_DATA_CACHE):
+        try:
+            with np.load(_DATA_CACHE) as f:
+                if f["data"].shape[0] == n_patterns:
+                    return
+        except Exception:
+            pass
+    data = _simulate_numpy(128, probe, scan, psi)
+    tmp = _DATA_CACHE + ".tmp.npz"  # np.savez appends .npz to bare names
+    np.savez(tmp, data=data)
+    os.replace(tmp, _DATA_CACHE)
+
+
+def _probe_relay():
+    """Cheap child: does the backend come up and run one tiny program?"""
+    code = (
+        "import jax, jax.numpy as jnp, numpy as np;"
+        "x = np.asarray(jax.device_get(jnp.ones((8, 128)) @ jnp.ones((128, 8))));"
+        "print('RELAY_OK', float(x.sum()), flush=True)"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=_PROBE_TIMEOUT_S,
+        )
+    except subprocess.TimeoutExpired:
+        return False, "probe timed out (relay wedged at init)"
+    if proc.returncode == 0 and "RELAY_OK" in proc.stdout:
+        return True, ""
+    return False, f"probe rc={proc.returncode}: {proc.stderr[-400:]}"
+
+
+def _run_with_budget(argv):
+    deadline = time.monotonic() + _TOTAL_BUDGET_S
+    n_patterns = int(argv[0]) if argv else 10_000
+    try:
+        _prepare_data(n_patterns)
+    except Exception as e:  # never let data prep kill the record
+        print(f"bench: data prep failed, child will simulate: {e}", file=sys.stderr)
+
+    last_err = "no attempt made"
+    attempt = 0
+    while time.monotonic() < deadline - _PROBE_TIMEOUT_S:
+        attempt += 1
+        ok, why = _probe_relay()
+        if not ok:
+            last_err = why
+            print(f"bench probe {attempt}: {why}", file=sys.stderr, flush=True)
+            # a wedged relay sometimes recovers within minutes; brief pause
+            # unless that would push past the deadline
+            if time.monotonic() + 20 < deadline - _PROBE_TIMEOUT_S:
+                time.sleep(20)
+            continue
+        remaining = deadline - time.monotonic()
+        child_timeout = max(60.0, min(480.0, remaining - 10.0))
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"] + argv,
+                capture_output=True,
+                text=True,
+                timeout=child_timeout,
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"bench child timed out after {child_timeout:.0f}s"
+            print(f"bench attempt {attempt}: {last_err}", file=sys.stderr, flush=True)
+            continue
+        line = next(
+            (ln for ln in reversed(proc.stdout.splitlines()) if ln.startswith("{")),
+            None,
+        )
+        if proc.returncode == 0 and line is not None:
+            print(line, flush=True)
+            return 0
+        last_err = f"child rc={proc.returncode}: {proc.stderr[-600:]}"
+        print(f"bench attempt {attempt}: {last_err}", file=sys.stderr, flush=True)
+    # Total failure: still emit a parseable record so the driver logs a value.
+    _emit(
+        {
+            "metric": "lsqml_epoch_patterns_per_sec_128px",
+            "value": 0.0,
+            "unit": "patterns/s",
+            "vs_baseline": 0.0,
+            "error": f"relay unavailable: {last_err}",
+        }
+    )
+    return 0
+
+
+def main():
+    import jax
+
+    import tike_tpu.ptycho as tp
+    from tike_tpu.utils import transfer
+
+    n_patterns = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
+    solver = sys.argv[2] if len(sys.argv) > 2 else "lsqml"
+    num_batch = 10
+
+    # Tiny warmup op: the tunneled backend's first program on a cold remote
+    # compiler is unreliable; a small program first stabilizes it.
+    import jax.numpy as jnp
+
+    np.asarray(jax.device_get(jnp.ones((8, 128)) @ jnp.ones((128, 8))))
+
+    scan, psi, probe = _make_inputs(n_patterns)
+    if os.path.exists(_DATA_CACHE):
+        with np.load(_DATA_CACHE) as f:
+            data = f["data"]
+        if data.shape[0] != n_patterns:
+            data = _simulate_numpy(128, probe, scan, psi)
+    else:
+        data = _simulate_numpy(128, probe, scan, psi)
 
     params = tp.PtychoParameters(
         probe=probe,
@@ -151,13 +228,18 @@ def main():
     context = tp.Reconstruction(data, params)
     context.__enter__()
     # Warm-up with the same epoch count so the timed call reuses the
-    # compiled (possibly multi-epoch-fused) executable.
+    # compiled (possibly multi-epoch-fused) executable. block_until_ready
+    # does NOT block on the relay; force a real host transfer instead.
     n_timed = 3
+
+    def _sync():
+        transfer.scalar(jnp.abs(jnp.asarray(context.parameters.psi)).sum())
+
     context.iterate(n_timed)
-    jax.block_until_ready(context.parameters.psi)
+    _sync()
     start = time.perf_counter()
     context.iterate(n_timed)
-    jax.block_until_ready(context.parameters.psi)
+    _sync()
     elapsed = time.perf_counter() - start
 
     patterns_per_sec = n_patterns * n_timed / elapsed
@@ -179,4 +261,4 @@ if __name__ == "__main__":
         sys.argv.remove("--child")
         main()
     else:
-        sys.exit(_run_with_retries(sys.argv[1:]))
+        sys.exit(_run_with_budget(sys.argv[1:]))

@@ -20,6 +20,10 @@ def scenarios():
         ("dp_rpie_compact", "replicated", "rpie", {}),
         ("dp_lstsq_wobbly", "replicated", "lstsq_grad", {"wobbly": True}),
         ("dp_rpie_eigen", "replicated", "rpie", {"eigen": True}),
+        # Host-streaming composed with the multi-host DP layout: each
+        # rank's stripe block stays in host RAM, batches upload one at a
+        # time as globally-sharded arrays (HostStreamedBatches).
+        ("dp_rpie_streamed", "replicated", "rpie", {"stream": True}),
         ("striped_rpie", "striped", "rpie", {"rescale": True}),
         ("striped_rpie_streamed", "striped", "rpie", {"stream": True}),
         # All positions cluster in rank 0's stripes: rank 1 holds an empty
@@ -147,7 +151,11 @@ def run_scenario(name, sharding, algo, feat, mesh, dist):
         local_idx = dist.stripe_for_process(scan)
         data_local = data[local_idx]
         with tp.Reconstruction(
-            data=data_local, parameters=params, mesh=mesh, random_seed=0
+            data=data_local,
+            parameters=params,
+            mesh=mesh,
+            random_seed=0,
+            store_data_on_device=not feat.get("stream"),
         ) as context:
             context.iterate(params.algorithm_options.num_iter)
             result = context.get_result()

@@ -154,3 +154,135 @@ def test_patch_ops_irregular_sizes():
         assert (
             float(jnp.max(jnp.abs(adj - oracle))) / scale < 1e-4
         ), f"p={p}"
+
+
+def _zero_weight_fwd_oracle(images, positions, p):
+    """Reference-kernel semantics (`convolution.cu:27-49`): out-of-image
+    pixels contribute zero weight. Valid for any position, not just
+    in-bounds ones."""
+    h, w = images.shape
+    out = np.zeros((len(positions), p, p), dtype=images.dtype)
+    for i, (y, x) in enumerate(positions):
+        iy, ix = int(np.floor(y)), int(np.floor(x))
+        fy, fx = y - iy, x - ix
+        for oy, wy in ((0, (1 - fy)), (1, fy)):
+            for ox, wx in ((0, (1 - fx)), (1, fx)):
+                rows = iy + oy + np.arange(p)
+                cols = ix + ox + np.arange(p)
+                rmask = (rows >= 0) & (rows < h)
+                cmask = (cols >= 0) & (cols < w)
+                sub = np.zeros((p, p), dtype=images.dtype)
+                rr = rows[rmask]
+                cc = cols[cmask]
+                sub[np.ix_(rmask, cmask)] = images[np.ix_(rr, cc)]
+                out[i] += wy * wx * sub
+    return out
+
+
+def _zero_weight_adj_oracle(patches, positions, shape):
+    """Exact transpose of _zero_weight_fwd_oracle: out-of-image
+    contributions are dropped."""
+    h, w = shape
+    out = np.zeros(shape, dtype=patches.dtype)
+    p = patches.shape[-1]
+    for patch, (y, x) in zip(patches, positions):
+        iy, ix = int(np.floor(y)), int(np.floor(x))
+        fy, fx = y - iy, x - ix
+        for oy, wy in ((0, (1 - fy)), (1, fy)):
+            for ox, wx in ((0, (1 - fx)), (1, fx)):
+                rows = iy + oy + np.arange(p)
+                cols = ix + ox + np.arange(p)
+                rmask = (rows >= 0) & (rows < h)
+                cmask = (cols >= 0) & (cols < w)
+                out[np.ix_(rows[rmask], cols[cmask])] += (
+                    wy * wx * patch[np.ix_(rmask, cmask)]
+                )
+    return out
+
+
+def test_out_of_bounds_semantics_pinned():
+    """Pin the raw-op boundary behavior (VERDICT r3 item 7).
+
+    For NON-NEGATIVE positions — in-bounds, straddling the bottom/right
+    edge, or entirely past it — patch_fwd/patch_adj/patch_adj_scatter
+    implement exactly the reference kernel's zero-weighting
+    (`convolution.cu:27-49`): out-of-image pixels read as zero and
+    out-of-image contributions are dropped. The fwd/adj pair remains an
+    exact transpose under these positions. NEGATIVE positions are
+    undefined (finite, but clamped-tile reads); solver paths guard them
+    via check_allowed_positions and the in-solver position clamp.
+    """
+    from tike_tpu.ops.patch import patch_adj_scatter
+
+    rng = np.random.default_rng(11)
+    h, w, p = 48, 56, 12
+    images = random_complex(rng, h, w)
+    positions = np.array(
+        [
+            [3.5, 7.25],                 # in-bounds
+            [h - p - 2.0, w - p - 2.0],  # last allowed corner
+            [h - p + 2.5, w - p + 3.25], # straddles bottom-right edge
+            [h - p + 0.5, 5.0],          # straddles bottom only
+            [2.0, w - p + 6.75],         # straddles right only
+            [h + 5.0, w + 9.5],          # entirely past the edge
+        ],
+        dtype=np.float32,
+    )
+    patches = random_complex(rng, len(positions), p, p)
+
+    got_fwd = np.asarray(
+        patch_fwd(jnp.asarray(images), jnp.asarray(positions), p)
+    )
+    want_fwd = _zero_weight_fwd_oracle(images, positions, p)
+    np.testing.assert_allclose(got_fwd, want_fwd, rtol=1e-5, atol=1e-5)
+
+    want_adj = _zero_weight_adj_oracle(patches, positions, (h, w))
+    for adj_fn in (patch_adj, patch_adj_scatter):
+        got_adj = np.asarray(
+            adj_fn(jnp.asarray(patches), jnp.asarray(positions), (h, w))
+        )
+        np.testing.assert_allclose(
+            got_adj, want_adj, rtol=1e-4, atol=1e-5,
+            err_msg=adj_fn.__name__,
+        )
+
+    # The pair stays an exact transpose even with boundary-straddling
+    # positions — the invariant gradient correctness rests on.
+    check_adjoint(got_fwd, images, want_adj, patches)
+
+    # Negative positions: documented-undefined but always finite.
+    neg = np.array([[-3.5, -2.25], [-1.0, 4.5]], dtype=np.float32)
+    out = np.asarray(patch_fwd(jnp.asarray(images), jnp.asarray(neg), p))
+    assert np.isfinite(out).all()
+    out = np.asarray(
+        patch_adj(jnp.asarray(patches[:2]), jnp.asarray(neg), (h, w))
+    )
+    assert np.isfinite(out).all()
+
+
+def test_position_update_clamps_to_valid_window():
+    """Drifting position updates clamp to check_allowed_positions's valid
+    region in the solver paths (VERDICT r3 item 7)."""
+    from tike_tpu.ptycho.position import (
+        PositionOptions,
+        check_allowed_positions,
+    )
+    from tike_tpu.ptycho.solvers.lstsq import _update_position
+
+    h, w, p, n = 40, 44, 8, 6
+    rng = np.random.default_rng(0)
+    scan = np.stack(
+        [rng.uniform(1, h - p - 2, n), rng.uniform(1, w - p - 2, n)],
+        axis=-1,
+    ).astype(np.float32)
+    opts = PositionOptions(scan)
+    # A huge gradient step that would push every position far out.
+    num = jnp.asarray(np.full((n, 2), 1e3, np.float32))
+    den = jnp.asarray(np.ones((n, 2), np.float32))
+    new_scan, _ = _update_position(
+        jnp.asarray(scan), opts, num, den,
+        bounds=((1, h, w), (1, 1, 1, p, p)),
+    )
+    check_allowed_positions(
+        np.asarray(new_scan), np.zeros((1, h, w)), (1, 1, 1, p, p)
+    )

@@ -199,3 +199,65 @@ def test_dcn_mesh_axes_and_sharding():
     y = jax.device_put(x, NamedSharding(mesh, P("ici", None)))
     total = jax.jit(lambda v: jnp.sum(v))(y)
     assert float(total) == float(jnp.sum(x))
+
+
+@pytest.mark.parametrize("solver", ["rpie", "lstsq"])
+def test_multihost_dp_streamed_matches_device_resident(solver):
+    """store_data_on_device=False composes with the multi-host DP layout.
+
+    The reference streams under MPI unconditionally (`stream.py:285-404`
+    pipelines run identically under `mpi.py:61-85` striping); here the
+    emulated 2-stripe multi-host layout must produce the same
+    reconstruction whether the diffraction data is device-resident
+    (one globally-sharded array) or streamed per-batch from host RAM
+    (HostStreamedBatches). VERDICT r3 item 5.
+    """
+    from jax.sharding import Mesh
+    import tike_tpu.ptycho as tp
+    from ._dist_worker import build_problem
+
+    data, scan, probe, psi_shape = build_problem()
+
+    def make_parameters():
+        algo = (
+            tp.RpieOptions if solver == "rpie" else tp.LstsqOptions
+        )(num_iter=2, num_batch=3, batch_method="compact")
+        return tp.PtychoParameters(
+            psi=np.full(psi_shape, 0.8 + 0j, dtype=np.complex64),
+            probe=probe.copy(),
+            scan=scan.copy(),
+            algorithm_options=algo,
+            object_options=tp.ObjectOptions(),
+            probe_options=tp.ProbeOptions(),
+        )
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("batch",))
+    results = {}
+    for on_device in (True, False):
+        with tp.Reconstruction(
+            data=data,
+            parameters=make_parameters(),
+            mesh=mesh,
+            random_seed=0,
+            store_data_on_device=on_device,
+            _force_stripes=2,
+        ) as context:
+            from tike_tpu.parallel.distributed import HostStreamedBatches
+
+            assert isinstance(context.data, jax.Array) == on_device
+            if not on_device:
+                assert isinstance(context.data, HostStreamedBatches)
+            context.iterate(2)
+            results[on_device] = context.get_result()
+
+    a, b = results[True], results[False]
+    np.testing.assert_allclose(
+        np.asarray(a.psi), np.asarray(b.psi), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.probe), np.asarray(b.probe), rtol=1e-5, atol=1e-6
+    )
+    ca = [float(np.mean(c)) for c in a.algorithm_options.costs]
+    cb = [float(np.mean(c)) for c in b.algorithm_options.costs]
+    np.testing.assert_allclose(ca, cb, rtol=1e-5)
+    assert ca[-1] < ca[0]

@@ -15,10 +15,17 @@ we express the same linear operator as XLA-friendly primitives:
 Semantics notes (match the reference):
 - ``positions`` are (y, x) coordinates of the *minimum corner* of each patch
   in image coordinates; fractional parts trigger bilinear interpolation.
-- Positions are assumed in-bounds, i.e. ``1 <= pos`` and
-  ``pos + patch_width + 1 <= image_shape`` (the reference enforces this via
-  ``check_allowed_positions``); out-of-bounds behavior is clamping (XLA
-  dynamic_slice/scatter semantics) rather than the reference's zero-weighting.
+- Boundary behavior (pinned by ``tests/operators/test_patch.py``): for any
+  NON-NEGATIVE position — including positions arbitrarily far past the
+  bottom/right edge — the forward reads zeros for out-of-image pixels and
+  the adjoint drops out-of-image contributions, exactly matching the
+  reference kernel's zero-weighting (`convolution.cu:27-49`); the alignment
+  padding doubles as the zero-weight region and the pair stays an exact
+  transpose. NEGATIVE positions are undefined (XLA clamps the aligned tile
+  start, producing finite but shifted reads / dropped writes); as in the
+  reference, the driver-level ``check_allowed_positions`` (positions >= 1)
+  rejects them before any solver path, and position updates inside solvers
+  clamp to the valid window.
 """
 
 from __future__ import annotations
@@ -195,6 +202,17 @@ def patch_adj_scatter(
     rows = corner[:, 0:1] + span[None, :]  # (N, P+1)
     cols = corner[:, 1:2] + span[None, :]  # (N, P+1)
     flat = (rows[:, :, None] * w + cols[:, None, :]).reshape(-1)
+    # Out-of-image pixels must be DROPPED (the reference kernel's
+    # zero-weighting, convolution.cu:27-49). The flat index alone would
+    # alias out-of-range columns into the next row, so send any pixel
+    # outside [0,h)x[0,w) to an index mode="drop" discards.
+    oob = (
+        (rows[:, :, None] < 0)
+        | (rows[:, :, None] >= h)
+        | (cols[:, None, :] < 0)
+        | (cols[:, None, :] >= w)
+    ).reshape(-1)
+    flat = jnp.where(oob, h * w, flat)
 
     if images is None:
         acc = jnp.zeros((nch, h * w), dtype=pf.dtype)

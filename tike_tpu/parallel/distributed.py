@@ -259,3 +259,47 @@ def make_global_batch_data(
         local_block,
         global_shape=(nb, num_processes * Lp, *local_block.shape[2:]),
     )
+
+
+class HostStreamedBatches:
+    """Host-resident per-process data, uploaded one mini-batch at a time.
+
+    The >HBM host-streaming mode composed with the multi-host DP layout:
+    the reference's CUDA-stream pipeline (`stream.py:285-404`) runs
+    unchanged under MPI (`mpi.py:61-85` stripes the rows; the solvers
+    stream regardless). Here each process keeps only its own
+    (nb, Lp, DET, DET) stripe block in host RAM and ``data[n]`` assembles
+    mini-batch ``n`` as ONE globally-sharded (P*Lp, DET, DET) device array
+    (no host gathering). Uploads are asynchronous, so the solvers'
+    double-buffered prefetch overlaps batch k+1's upload with batch k's
+    compute exactly as in the single-process streaming mode.
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        local_block: np.ndarray,
+        num_processes: int,
+    ):
+        self.mesh = mesh
+        self.local = local_block
+        nb, Lp = local_block.shape[:2]
+        self.shape = (
+            nb,
+            num_processes * Lp,
+            *local_block.shape[2:],
+        )
+        self.ndim = 4
+        self._sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+
+    def __len__(self) -> int:
+        return self.shape[0]
+
+    def __getitem__(self, n) -> jax.Array:
+        """Upload mini-batch ``n`` as a globally-sharded device array."""
+        n = int(n)
+        return jax.make_array_from_process_local_data(
+            self._sharding,
+            np.ascontiguousarray(self.local[n]),
+            global_shape=self.shape[1:],
+        )

@@ -217,23 +217,13 @@ class Reconstruction:
         )
         self.data_host = data
         self.parameters_host = copy.deepcopy(parameters)
-        if (
-            store_data_on_device is False
-            and self._is_multi_host()
-            and object_sharding != "striped"
-        ):
-            raise ValueError(
-                "host-streaming mode (store_data_on_device=False) is not "
-                "implemented for the multi-host DP layout: each process's "
-                "stripe is assembled into one globally-sharded device "
-                "array. Raise num_batch, use more processes so the "
-                "per-process stripe fits in HBM, or use "
-                "object_sharding='striped' (its streamed epoch feeds "
-                "batches from host RAM)."
-            )
-        # store_data_on_device=False composes with object_sharding=
-        # "striped" (single- or multi-host): the striped epoch streams one
-        # batch at a time from host RAM (>HBM data with a >HBM object).
+        # store_data_on_device=False composes with every layout, like the
+        # reference (stream.py:285-404 pipelines run identically under
+        # MPI): the replicated single-process path double-buffers
+        # device_put uploads, the multi-host DP layout streams each batch
+        # as a globally-sharded array (HostStreamedBatches), and the
+        # striped epoch feeds batches from host RAM (>HBM data with a
+        # >HBM object).
         if store_data_on_device is None:
             # Stream from host when the dataset is a large fraction of HBM
             # (v5e/v5p chips have 16-96 GB); 4 GB is a conservative cut.
@@ -363,14 +353,25 @@ class Reconstruction:
             global_block = np.concatenate(
                 [stripe_block(p) for p in range(n_proc)], axis=1
             )
-            self.data = jax.device_put(
-                jnp.asarray(global_block), batch_sharding(self.mesh, axis=1)
-            )
+            if self.store_data_on_device:
+                self.data = jax.device_put(
+                    jnp.asarray(global_block),
+                    batch_sharding(self.mesh, axis=1),
+                )
+            else:
+                self.data = dist.HostStreamedBatches(
+                    self.mesh, global_block, 1
+                )
         else:
-            self.data = dist.make_global_batch_data(
-                self.mesh, stripe_block(jax.process_index()), n_proc
-            )
-        self.store_data_on_device = True
+            local_block = stripe_block(jax.process_index())
+            if self.store_data_on_device:
+                self.data = dist.make_global_batch_data(
+                    self.mesh, local_block, n_proc
+                )
+            else:
+                self.data = dist.HostStreamedBatches(
+                    self.mesh, local_block, n_proc
+                )
 
         parameters = PtychoParameters.split(
             self.order, x=self.parameters_host
@@ -627,8 +628,10 @@ class Reconstruction:
                 )
             )
             and positions_ok
-            and not isinstance(self.data, np.ndarray)
-            and getattr(self.data, "ndim", 0) == 4
+            # Host-resident streaming (np.ndarray or HostStreamedBatches)
+            # takes the per-epoch path, which double-buffers uploads.
+            and isinstance(self.data, jax.Array)
+            and self.data.ndim == 4
             and (
                 p.algorithm_options.rescale_method == "mean_of_abs_object"
                 or (

@@ -771,24 +771,20 @@ def _epoch_end_math(
             pos_m = jnp.where(pos_gate, m2, pos_m)
             step = step2
         scan = jnp.where(pos_gate, scan - step, scan)
-        if comm is not None:
-            # Positions must stay inside the local stripe window: patch
-            # reads/writes clamp silently at the window edge, so a
-            # position that drifted past the halo margin would corrupt
-            # gradients without error. The clamp bounds total drift to
-            # the window (the reference errors via
-            # check_allowed_positions at result time instead).
-            scan = jnp.stack(
-                [
-                    jnp.clip(
-                        scan[:, 0], 1.0, cfg.nz - cfg.probe_shape - 2.0
-                    ),
-                    jnp.clip(
-                        scan[:, 1], 1.0, cfg.n - cfg.probe_shape - 2.0
-                    ),
-                ],
-                axis=-1,
-            )
+        # Positions must stay inside the valid window (the local stripe
+        # in striped mode, the full object otherwise): patch reads and
+        # writes zero-weight past the bottom/right edge but are undefined
+        # for negative corners, so a position that drifted out of bounds
+        # would corrupt gradients without error. The clamp bounds total
+        # drift to check_allowed_positions's valid region (the reference
+        # errors via check_allowed_positions at result time instead).
+        scan = jnp.stack(
+            [
+                jnp.clip(scan[:, 0], 1.0, cfg.nz - cfg.probe_shape - 2.0),
+                jnp.clip(scan[:, 1], 1.0, cfg.n - cfg.probe_shape - 2.0),
+            ],
+            axis=-1,
+        )
     if plan.compact:
         if plan.solver == "lstsq":
             if plan.recover_psi:

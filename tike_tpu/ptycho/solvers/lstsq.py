@@ -364,8 +364,15 @@ def _update_position(
     alpha=0.05,
     max_shift=1,
     epoch=0,
+    bounds=None,
 ):
-    """Apply the accumulated position gradient step (`lstsq.py:764-806`)."""
+    """Apply the accumulated position gradient step (`lstsq.py:764-806`).
+
+    ``bounds=(psi_shape, probe_shape)`` clamps the updated positions to
+    check_allowed_positions's valid window, matching the fused program
+    (drifted positions would otherwise corrupt gradients silently — see
+    ops/patch.py boundary semantics).
+    """
     if epoch < position_options.update_start:
         return scan, position_options
 
@@ -397,6 +404,19 @@ def _update_position(
         position_options._momentum = momentum
 
     scan = scan - step
+    if bounds is not None:
+        psi_shape, probe_shape = bounds
+        scan = jnp.stack(
+            [
+                jnp.clip(
+                    scan[..., 0], 1.0, psi_shape[-2] - probe_shape[-2] - 2.0
+                ),
+                jnp.clip(
+                    scan[..., 1], 1.0, psi_shape[-1] - probe_shape[-1] - 2.0
+                ),
+            ],
+            axis=-1,
+        )
     return scan, position_options
 
 
@@ -450,16 +470,23 @@ def lstsq_grad(
 
     # Double-buffered host-to-device prefetch when data is host-resident
     # (the >HBM streaming mode; see rpie.py for details).
-    host_data = isinstance(data, np.ndarray)
+    host_data = not isinstance(data, jax.Array)
+
+    def _put(n):
+        # np.ndarray batch -> async single-put; HostStreamedBatches batch
+        # -> already a globally-sharded device array (async assembly).
+        b = data[n]
+        return b if isinstance(b, jax.Array) else jax.device_put(b)
+
     if host_data:
-        next_dev = jax.device_put(data[order[0]])
+        next_dev = _put(order[0])
     for k, n in enumerate(order):
         idx = jnp.asarray(batch_idx[n])
         bmask = jnp.asarray(batch_mask[n])
         if host_data:
             data_b = next_dev
             if k + 1 < len(order):
-                next_dev = jax.device_put(data[order[k + 1]])
+                next_dev = _put(order[k + 1])
         else:
             data_b = (
                 data[n] if data.ndim == 4 else jnp.take(data, idx, axis=0)
@@ -545,7 +572,12 @@ def lstsq_grad(
         and pos_den is not None
     ):
         scan, position_options = _update_position(
-            scan, position_options, pos_num, pos_den, epoch=epoch
+            scan,
+            position_options,
+            pos_num,
+            pos_den,
+            epoch=epoch,
+            bounds=(psi.shape, probe.shape),
         )
 
     batch_cost = tike_tpu.utils.transfer.to_host(jnp.stack(batch_cost_dev))

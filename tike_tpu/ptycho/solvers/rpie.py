@@ -574,7 +574,7 @@ def rpie(
     )
     # Fast path: the whole epoch as one XLA program (device-resident
     # batch-major data, no host-side adaptive-moment control flow).
-    if not use_moments and not isinstance(data, np.ndarray) and data.ndim == 4:
+    if not use_moments and isinstance(data, jax.Array) and data.ndim == 4:
         psi, probe, eigen_weights, costs_by_batch = _rpie_epoch_program(
             op,
             data,
@@ -625,16 +625,23 @@ def rpie(
     # (the >HBM streaming mode, replacing the reference's CUDA-stream
     # pipeline `stream.py:285-404`): upload of batch k+1 overlaps compute
     # of batch k because device_put is asynchronous.
-    host_data = isinstance(data, np.ndarray)
+    host_data = not isinstance(data, jax.Array)
+
+    def _put(n):
+        # np.ndarray batch -> async single-put; HostStreamedBatches batch
+        # -> already a globally-sharded device array (async assembly).
+        b = data[n]
+        return b if isinstance(b, jax.Array) else jax.device_put(b)
+
     if host_data:
-        next_dev = jax.device_put(data[order[0]])
+        next_dev = _put(order[0])
     for k, n in enumerate(order):
         idx = jnp.asarray(batch_idx[n])
         bmask = jnp.asarray(batch_mask[n])
         if host_data:
             data_b = next_dev
             if k + 1 < len(order):
-                next_dev = jax.device_put(data[order[k + 1]])
+                next_dev = _put(order[k + 1])
         else:
             # data may be batch-major (num_batch, L, DET, DET) or flat
             # (N, DET, DET); slice or gather accordingly.
