@@ -776,3 +776,66 @@ def test_striped_classical_momentum_runs(stream):
         result = ctx.get_result()
     costs = [float(np.mean(c)) for c in result.algorithm_options.costs]
     assert np.all(np.isfinite(costs)) and costs[-1] < costs[0], costs
+
+
+def test_striped_streamed_chunking_invariant(monkeypatch):
+    """The K-batches-per-dispatch chunking (TIKE_STREAM_CHUNK) leaves the
+    streamed result unchanged: K=1 (the pre-chunking per-batch dispatch),
+    K=2 (one chunk + a single-batch tail), and the default all give the
+    same reconstruction. VERDICT r3 item 6."""
+    psi_true, probe, scan, data = _setup(n=192, nmodes=1)
+    mesh = make_mesh()
+    psi0 = np.full_like(psi_true, 0.5)
+
+    def run(chunk):
+        if chunk is None:
+            monkeypatch.delenv("TIKE_STREAM_CHUNK", raising=False)
+        else:
+            monkeypatch.setenv("TIKE_STREAM_CHUNK", str(chunk))
+        params = tp.PtychoParameters(
+            probe=probe.copy(),
+            psi=psi0.copy(),
+            scan=scan.copy(),
+            algorithm_options=tp.RpieOptions(
+                num_batch=3, num_iter=2, batch_method="compact"
+            ),
+            object_options=tp.ObjectOptions(),
+            probe_options=tp.ProbeOptions(
+                init_rescale_from_measurements=False
+            ),
+        )
+        with tp.Reconstruction(
+            data,
+            params,
+            mesh=mesh,
+            object_sharding="striped",
+            random_seed=0,
+            store_data_on_device=False,
+        ) as ctx:
+            ctx.iterate(2)
+            return ctx.get_result()
+
+    base = run(1)
+    base_costs = [float(np.mean(c)) for c in base.algorithm_options.costs]
+    for chunk in (2, None):
+        other = run(chunk)
+        np.testing.assert_allclose(
+            [float(np.mean(c)) for c in other.algorithm_options.costs],
+            base_costs,
+            rtol=1e-6,
+            err_msg=f"chunk={chunk}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(other.psi),
+            np.asarray(base.psi),
+            rtol=1e-5,
+            atol=1e-6,
+            err_msg=f"chunk={chunk}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(other.probe),
+            np.asarray(base.probe),
+            rtol=1e-5,
+            atol=1e-6,
+            err_msg=f"chunk={chunk}",
+        )

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import typing
 
 import jax
@@ -758,7 +759,93 @@ class StripedState:
                 check_vma=False,
             )
         )
-        self._programs[key] = (begin, batch, end)
+        def make_chunk(K: int):
+            """Program applying K consecutive mini-batches per dispatch.
+
+            One shard_map program call per mini-batch is latency-bound on
+            relay backends (~3.4 ms dispatch floor); scanning K batches
+            inside one program amortizes the dispatch K-fold (VERDICT r3
+            item 6). The scan body is the SAME `_batch_update_math` as the
+            single-batch program, so results are bitwise-identical for any
+            chunking of the epoch's batch order.
+            """
+            ckey = ("streamed_chunk", K)
+            if ckey in self._programs:
+                return self._programs[ckey]
+
+            def run_chunk(
+                ns, epoch_idx, data_c, scan, batch_idx, batch_mask,
+                measured, sls, slw, ups, psi_pre, probe_pre,
+                *carry_ext,
+            ):
+                recover_now, gate = predicates(epoch_idx)
+                carry2 = _carry_local(carry_ext[:14])
+                costs_b = local(carry_ext[14])
+                beta_sum = local(carry_ext[15])
+
+                def step(c, inp):
+                    cin, costs_in, beta_in = c
+                    n, data_b = inp
+                    new_carry, (cost, beta_obj) = _batch_update_math(
+                        plan,
+                        data_b,
+                        local(scan),
+                        local(batch_idx)[n],
+                        local(batch_mask)[n],
+                        local(psi_pre),
+                        probe_pre,
+                        measured,
+                        sls,
+                        slw,
+                        ups,
+                        gate,
+                        recover_now,
+                        nb,
+                        cin,
+                    )
+                    return (
+                        new_carry,
+                        costs_in.at[n].set(cost),
+                        # beta_obj is (1,) for lstsq, scalar for rpie;
+                        # keep the carry rank-0 either way.
+                        beta_in + jnp.reshape(beta_obj, ()),
+                    ), None
+
+                (carry2, costs_b, beta_sum), _ = jax.lax.scan(
+                    step, (carry2, costs_b, beta_sum), (ns, local(data_c))
+                )
+                return _carry_global(carry2) + (
+                    costs_b[None],
+                    beta_sum[None],
+                )
+
+            program = pair_jit(
+                jax.shard_map(
+                    run_chunk,
+                    mesh=mesh,
+                    in_specs=(
+                        rep,  # ns (K,)
+                        rep,  # epoch_idx
+                        dev,  # data_c (ndev, K, L, DET, DET)
+                        dev,  # scan
+                        dev,  # batch_idx
+                        dev,  # batch_mask
+                        rep,  # measured
+                        rep,  # sls
+                        rep,  # slw
+                        rep,  # ups
+                        dev,  # psi_pre
+                        rep,  # probe_pre
+                    )
+                    + carry_specs,
+                    out_specs=carry_specs,
+                    check_vma=False,
+                )
+            )
+            self._programs[ckey] = program
+            return program
+
+        self._programs[key] = (begin, batch, end, make_chunk)
         return self._programs[key]
 
 
@@ -1126,7 +1213,7 @@ def _striped_iterate_streamed(
     from . import put_process_local
 
     nb = state._nb()
-    begin, batch, end = state._streamed_programs()
+    begin, batch, end, make_chunk = state._streamed_programs()
     dev_sharding = NamedSharding(state.mesh, P(BATCH_AXIS))
 
     def put_batch(b):
@@ -1138,6 +1225,29 @@ def _striped_iterate_streamed(
         )
         block[rows < 0] = 0.0
         return put_process_local(block, dev_sharding, state.comm.ndev)
+
+    def put_chunk(ns):
+        # K batches in one host gather and one globally-sharded upload.
+        rows = state.data_rows[:, ns]  # (n_own, K, L)
+        block = np.asarray(
+            state.data_host[np.maximum(rows, 0)], dtype=np.float32
+        )
+        block[rows < 0] = 0.0
+        return put_process_local(block, dev_sharding, state.comm.ndev)
+
+    # Dispatch chunking: K mini-batches per program call (VERDICT r3
+    # item 6 — per-batch dispatch is latency-bound on ~3.4 ms-floor relay
+    # backends). K is bounded by HBM headroom: the chunk plus its
+    # double-buffered prefetch must stay a small fraction of HBM.
+    L = state.data_rows.shape[2]
+    det = state.data_host.shape[-1]
+    per_batch_dev_bytes = L * det * det * 4
+    env_k = os.environ.get("TIKE_STREAM_CHUNK")
+    if env_k:
+        K = max(1, min(nb, int(env_k)))
+    else:
+        K = int(max(1, min(nb, (256 * 2**20) // max(per_batch_dev_bytes, 1))))
+    chunk_prog = make_chunk(K) if K > 1 else None
 
     sls = jnp.asarray(state.step_length_start, jnp.float32)
     slw = jnp.asarray(state.step_length_weight, jnp.float32)
@@ -1196,15 +1306,29 @@ def _striped_iterate_streamed(
             costs_b,
             beta_sum,
         )
-        nxt = put_batch(int(order[0]))
-        for k in range(nb):
+        # Split the epoch's batch order into full K-chunks plus a tail of
+        # single batches (two compiled programs at most); results are
+        # bitwise-identical for any chunking because the chunk program
+        # scans the same per-batch math sequentially.
+        n_full = nb // K if chunk_prog is not None else 0
+        steps = [
+            ("chunk", order[c * K : (c + 1) * K]) for c in range(n_full)
+        ] + [("single", order[k]) for k in range(n_full * K, nb)]
+
+        def put_step(step):
+            kind, ns = step
+            if kind == "chunk":
+                return put_chunk(ns)
+            return put_batch(int(ns))
+
+        nxt = put_step(steps[0])
+        for k, (kind, ns) in enumerate(steps):
             data_b = nxt
-            if k + 1 < nb:
-                # Prefetch the next batch while this one computes
+            if k + 1 < len(steps):
+                # Prefetch the next chunk/batch while this one computes
                 # (device_put is asynchronous).
-                nxt = put_batch(int(order[k + 1]))
-            carry = batch(
-                jnp.asarray(int(order[k]), jnp.int32),
+                nxt = put_step(steps[k + 1])
+            common = (
                 epoch_idx,
                 data_b,
                 state.scan,
@@ -1216,8 +1340,15 @@ def _striped_iterate_streamed(
                 ups,
                 psi_pre,
                 probe_pre,
-                *carry,
             )
+            if kind == "chunk":
+                carry = chunk_prog(
+                    jnp.asarray(ns, jnp.int32), *common, *carry
+                )
+            else:
+                carry = batch(
+                    jnp.asarray(int(ns), jnp.int32), *common, *carry
+                )
         (
             state.psi,
             state.probe,
