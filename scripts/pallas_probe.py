@@ -147,6 +147,83 @@ def main():
 
     probe("dynamic-offset DMA (the patch-kernel ingredient)", dynamic_dma)
 
+    def element_static():
+        big = jnp.ones((1024, 1024), jnp.float32)
+
+        def k(x_ref, o_ref):
+            o_ref[...] = x_ref[...] * 2.0
+
+        y = pl.pallas_call(
+            k,
+            grid=(8,),
+            in_specs=[
+                pl.BlockSpec(
+                    (pl.Element(128), pl.Element(256)),
+                    lambda i: (i * 8, i * 16),
+                )
+            ],
+            out_specs=pl.BlockSpec((1, 128, 256), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((8, 128, 256), jnp.float32),
+        )(big)
+        sync(y)
+
+    probe("Element-indexed block (grid-affine unaligned starts)",
+          element_static)
+
+    def element_prefetch():
+        big = jnp.ones((1024, 1024), jnp.float32)
+        corner = jnp.asarray(
+            np.stack([np.arange(8) * 9 + 3, np.arange(8) * 17 + 5], -1)
+            .astype(np.int32)
+        )
+
+        def k(c_ref, x_ref, o_ref):
+            o_ref[0] = x_ref[...] * 2.0
+
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(8,),
+            in_specs=[
+                pl.BlockSpec(
+                    (pl.Element(128), pl.Element(256)),
+                    lambda i, c: (c[i, 0], c[i, 1]),
+                )
+            ],
+            out_specs=pl.BlockSpec((1, 128, 256), lambda i, c: (i, 0, 0)),
+        )
+        y = pl.pallas_call(
+            k,
+            grid_spec=gs,
+            out_shape=jax.ShapeDtypeStruct((8, 128, 256), jnp.float32),
+        )(corner, big)
+        sync(y)
+
+    probe(
+        "Element-indexed block w/ scalar-prefetch starts "
+        "(patch_fwd_pallas_elem ingredient)",
+        element_prefetch,
+    )
+
+    def patch_fwd_elem_production():
+        from tike_tpu.ops.patch_pallas import patch_fwd_pallas_elem
+
+        # Build the complex image on-device (direct complex uploads wedge
+        # the relay — see the verify skill / ROUND3.md).
+        img = jax.lax.complex(
+            jnp.ones((512, 512), jnp.float32),
+            jnp.zeros((512, 512), jnp.float32),
+        )
+        posn = jnp.asarray(
+            np.random.default_rng(0)
+            .uniform(1, 512 - 130, (64, 2))
+            .astype(np.float32)
+        )
+        y = patch_fwd_pallas_elem(img, posn, 128)
+        sync(jnp.abs(y))
+
+    probe("patch_fwd_pallas_elem (production shape)",
+          patch_fwd_elem_production)
+
     width = max(len(k) for k in results)
     for k, v in results.items():
         print(f"{k:<{width}} : {v}")

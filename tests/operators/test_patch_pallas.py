@@ -52,6 +52,43 @@ def test_patch_fwd_pallas_interpret(setup, monkeypatch):
 
 
 @pytest.mark.slow
+def test_patch_fwd_pallas_elem_interpret(setup):
+    """Element-indexed (dynamic-DMA-free) forward matches the XLA path.
+
+    This is the formulation targeted at the relay's Mosaic compiler, which
+    rejects dynamic-offset DMA but compiles scalar-prefetch index maps
+    (PALLAS_VERDICT.md); ``pl.Element`` block dims move the data-dependent
+    addressing into the pipeline's own block fetch.
+    """
+    import tike_tpu.ops.patch_pallas as pp
+
+    images, positions, patches, shape, p = setup
+    got = pp.patch_fwd_pallas_elem(images, positions, p, interpret=True)
+    want = patch_fwd(images, positions, p)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.slow
+def test_patch_fwd_pallas_elem_bottom_edge_zero_reads(setup):
+    """Windows past the bottom/right edge read zeros (reference semantics)."""
+    import tike_tpu.ops.patch_pallas as pp
+
+    images, positions, patches, shape, p = setup
+    h, w = shape
+    edge = jnp.asarray(
+        [[h - p / 2, w - p / 2], [float(h - 1), float(w - 1)]],
+        dtype=jnp.float32,
+    )
+    got = pp.patch_fwd_pallas_elem(images, edge, p, interpret=True)
+    want = patch_fwd(images, edge, p)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.slow
 def test_patch_adj_pallas_interpret(setup, monkeypatch):
     import tike_tpu.ops.patch_pallas as pp
     from jax.experimental import pallas as pl

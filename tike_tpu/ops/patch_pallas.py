@@ -43,6 +43,79 @@ def _from_float_pairs(images_f: jax.Array) -> jax.Array:
     return jax.lax.complex(pairs[..., 0], pairs[..., 1])
 
 
+def _patch_fwd_elem_kernel(corner_ref, frac_ref, win_ref, out_ref):
+    """One grid step extracts one patch from an Element-indexed window block.
+
+    Dynamic-DMA-free formulation (VERDICT r3 item 3): the (C, P+1, P+1)
+    object window arrives as a pipelined input block whose element-granular
+    start is the scalar-prefetched integer corner (``pl.Element`` block
+    dims) — no ``pl.ds`` dynamic-offset DMA, which the relay's Mosaic
+    compiler rejects. The kernel body is pure VPU: the bilinear blend of the
+    window's four integer-shifted corners.
+    """
+    i = pl.program_id(0)
+    fy = frac_ref[i, 0]
+    fx = frac_ref[i, 1]
+    w = win_ref[...]
+    out_ref[0] = (
+        (1 - fy) * (1 - fx) * w[:, :-1, :-1]
+        + (1 - fy) * fx * w[:, :-1, 1:]
+        + fy * (1 - fx) * w[:, 1:, :-1]
+        + fy * fx * w[:, 1:, 1:]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("patch_width", "interpret"))
+def patch_fwd_pallas_elem(
+    images: jax.Array,
+    positions: jax.Array,
+    patch_width: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Element-indexed Pallas version of :func:`tike_tpu.ops.patch.patch_fwd`.
+
+    Uses the channel-leading float layout of the production XLA path
+    (complex -> (2, H, W) float32) so lane offsets are not doubled by
+    re/im interleaving. Positions must be non-negative; like the XLA path,
+    the image is zero-padded so windows past the bottom/right edge read
+    zeros (`convolution.cu:27-49` semantics).
+    """
+    n = positions.shape[0]
+    p = patch_width
+    h, w = images.shape
+    imf = jnp.stack([images.real, images.imag], axis=0)
+    # Zero-pad so any non-negative in-bounds-checked corner has a full
+    # (P+1, P+1) window; round up to the native (8, 128) tile.
+    hp = -(-(h + p + 8) // 8) * 8
+    wp = -(-(w + p + 128) // 128) * 128
+    imf = jnp.pad(imf, ((0, 0), (0, hp - h), (0, wp - w)))
+
+    lo = jnp.floor(positions)
+    corner = lo.astype(jnp.int32)
+    frac = (positions - lo).astype(jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(
+                (2, pl.Element(p + 1), pl.Element(p + 1)),
+                lambda i, c, f: (0, c[i, 0], c[i, 1]),
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 2, p, p), lambda i, *_: (i, 0, 0, 0)
+        ),
+    )
+    out = pl.pallas_call(
+        _patch_fwd_elem_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, 2, p, p), jnp.float32),
+        interpret=interpret,
+    )(corner, frac, imf)
+    return jax.lax.complex(out[:, 0], out[:, 1]).astype(images.dtype)
+
+
 def _patch_fwd_kernel(corner_ref, frac_ref, images_ref, out_ref, win, sem):
     """One grid step extracts one patch.
 
