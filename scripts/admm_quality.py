@@ -9,7 +9,7 @@ for the same geometry, which bounds what the joint pipeline can achieve.
 
 Run:
 
-    python scripts/admm_quality.py [n] [T] [iters] [rho] [phantom]
+    python scripts/admm_quality.py [n] [T] [iters] [rho] [phantom] [gauge]
 
 Defaults: n=48, T=16 angles, 12 ADMM iterations, rho=0.5, phantom=blobs.
 phantom=cube reproduces the sharp-edged weak-phase cube regime from the
@@ -60,6 +60,7 @@ def main():
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 12
     rho = float(sys.argv[4]) if len(sys.argv) > 4 else 0.5
     phantom = sys.argv[5] if len(sys.argv) > 5 else "blobs"
+    gauge = sys.argv[6] if len(sys.argv) > 6 else "target"
     P = 16
     NPOS = 150
     energy, voxelsize = 10.0, 1e-7
@@ -128,6 +129,7 @@ def main():
         data, params, theta,
         tilt=np.pi / 2, voxelsize=voxelsize, energy=energy,
         num_iter=iters, rho=rho, ptycho_iter=2, lamino_iter=2,
+        gauge=gauge,
     )
     elapsed = time.perf_counter() - t0
     admm_corr = corr(np.asarray(result["obj"]), obj_true)
@@ -158,6 +160,7 @@ def main():
 
     print(json.dumps({
         "n": n, "T": T, "iters": iters, "rho": rho, "phantom": phantom,
+        "gauge": gauge,
         "admm_corr": round(admm_corr, 4),
         "twostep_corr": round(twostep_corr, 4),
         "ceiling_corr": round(ceiling_corr, 4),

@@ -102,12 +102,17 @@ def multislice_fwd(
     scan: jax.Array,
     probe: jax.Array,
     precision=jax.lax.Precision.HIGHEST,
+    return_patches: bool = False,
 ):
     """Propagate the probe through all object slices.
 
     Returns ``(exitwave (B, M, P, P), slice_probes (D, B, M, P, P))`` where
     ``slice_probes[t]`` is the incident illumination at slice t — the
-    intermediate probes the solvers reuse (`multislice.py:97-141`).
+    intermediate probes the solvers reuse (`multislice.py:97-141`). With
+    ``return_patches`` also returns ``slice_patches (D, B, P, P)``, the
+    extracted object windows, so solver backward passes can reuse them
+    instead of re-running the patch gather (the single largest HBM-traffic
+    stage; bitwise-identical since psi is unchanged within a batch step).
     """
     b = scan.shape[0]
     m = probe.shape[-3]
@@ -117,6 +122,8 @@ def multislice_fwd(
     if cfg.nslices == 1:
         patches = patch_fwd(psi[0], scan, p, precision=precision)
         exitwave = patches[:, None, :, :] * probe0
+        if return_patches:
+            return exitwave, probe0[None], patches[None]
         return exitwave, probe0[None]
 
     prop = cfg.propagator()
@@ -125,9 +132,13 @@ def multislice_fwd(
         patches = patch_fwd(psi_slice, scan, p, precision=precision)
         exitwave = patches[:, None, :, :] * carry_probe
         next_probe = fresnel_fwd(exitwave, prop)
-        return next_probe, (carry_probe, exitwave)
+        return next_probe, (carry_probe, exitwave, patches)
 
-    _, (slice_probes, exitwaves) = jax.lax.scan(step, probe0, psi)
+    _, (slice_probes, exitwaves, slice_patches) = jax.lax.scan(
+        step, probe0, psi
+    )
+    if return_patches:
+        return exitwaves[-1], slice_probes, slice_patches
     return exitwaves[-1], slice_probes
 
 
@@ -145,21 +156,27 @@ def ptycho_fwd(
     return propagation_fwd(_pad_to_detector(exitwave, cfg))
 
 
-def ptycho_fwd_with_probes(cfg, psi, scan, probe):
+def ptycho_fwd_with_probes(cfg, psi, scan, probe, return_patches=False):
     """Forward model also returning per-slice incident probes for solvers.
 
     Solver-internal: propagation goes through propagation_fwd_fast, which
     is the native FFT unless the opt-in TIKE_MATMUL_FFT_MAX knob enables
     the DFT-matmul variant; the parity-facing ptycho_fwd always uses the
-    exact FFT. The patch einsum runs at HIGH precision here.
+    exact FFT. The patch einsum runs at HIGH precision here. With
+    ``return_patches`` also returns the per-slice object windows for
+    backward-pass reuse (see :func:`multislice_fwd`).
     """
     from .propagation import propagation_fwd_fast
 
-    exitwave, slice_probes = multislice_fwd(
-        cfg, psi, scan, probe, precision=jax.lax.Precision.HIGH
+    out = multislice_fwd(
+        cfg, psi, scan, probe,
+        precision=jax.lax.Precision.HIGH,
+        return_patches=return_patches,
     )
-    farplane = propagation_fwd_fast(_pad_to_detector(exitwave, cfg))
-    return farplane, slice_probes
+    farplane = propagation_fwd_fast(_pad_to_detector(out[0], cfg))
+    if return_patches:
+        return farplane, out[1], out[2]
+    return farplane, out[1]
 
 
 def intensity_from_farplane(farplane: jax.Array) -> jax.Array:

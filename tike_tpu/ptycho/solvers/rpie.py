@@ -91,9 +91,9 @@ def _batch_gradients_math(
     else:
         unique_probe = probe[:, 0]  # (1, M, P, P)
 
-    farplane, slice_probes = ptycho_fwd_with_probes(
-        cfg, psi, scan_b, unique_probe
-    )  # (B, M, DET, DET), (D, B, M, P, P)
+    farplane, slice_probes, slice_patches = ptycho_fwd_with_probes(
+        cfg, psi, scan_b, unique_probe, return_patches=True
+    )  # (B, M, DET, DET), (D, B, M, P, P), (D, B, P, P)
     intensity = intensity_from_farplane(farplane)  # (B, DET, DET)
 
     costs = _masked_mean_each_pattern(
@@ -155,12 +155,11 @@ def _batch_gradients_math(
                 precision=jax.lax.Precision.HIGH,
             )
         )
-        patches = patch_fwd(
-            psi[tt], scan_b, cfg.probe_shape,
-            precision=jax.lax.Precision.HIGH,
-        )
+        # Reuse the forward pass's object windows instead of re-running
+        # the patch gather (identical inputs -> identical values; the
+        # gather's aligned-tile reads are the largest HBM-traffic stage).
         probe_num_slices.append(
-            jnp.sum(jnp.conj(patches)[:, None] * diff, axis=0)
+            jnp.sum(jnp.conj(slice_patches[tt])[:, None] * diff, axis=0)
         )
         if tt > 0:
             diff = fresnel_adj(diff, prop)
@@ -173,10 +172,7 @@ def _batch_gradients_math(
     # --- Eigen weight update (`rpie.py:493-506`) ---
     eigen_delta = None
     if recover_probe and eigen_weights is not None:
-        patches0 = patch_fwd(
-            psi[0], scan_b, cfg.probe_shape,
-            precision=jax.lax.Precision.HIGH,
-        )[:, None]
+        patches0 = slice_patches[0][:, None]
         OP = patches0 * probe[0, :, 0:1, :, :]
         eigen_numerator = jnp.sum(
             jnp.real(jnp.conj(OP) * diff[:, 0:1]), axis=(-1, -2)
