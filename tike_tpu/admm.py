@@ -57,6 +57,7 @@ def reconstruct_joint_admm(
     eps: float = 1e-3,
     upsample: float = 2.0,
     gauge: str = "target",
+    coverage_weighted: bool = True,
 ):
     """Jointly reconstruct a 3D object from multi-angle ptychography.
 
@@ -69,6 +70,23 @@ def reconstruct_joint_admm(
     tilt : float, angle between rotation axis and beam (pi/2 = tomography)
     voxelsize : float [cm], object voxel side length
     energy : float [keV], probe energy
+    rho : float, ADMM penalty. Sets the data-vs-consensus blend
+        ``rho/(w+rho)`` per iteration. Measured on
+        `scripts/admm_quality.py` (16 angles, coverage-weighted blend):
+        smooth phantoms are insensitive (0.95-0.96 for rho in [0.5, 2]);
+        sharp-edged phantoms converge faster with stronger coupling
+        (rho=2: corr 0.88 at 12 iters, 0.91 at 24; rho=0.5: 0.84 at 12).
+    ptycho_iter, lamino_iter : int, inner iterations per ADMM iteration.
+        2/2 balances the subproblems: the quality benchmark measures no
+        gain from deeper inner solves (per-angle phase error is set by
+        coverage, not inner convergence — see `scripts/admm_quality.py`),
+        so total work scales linearly with num_iter instead.
+    gauge : str, per-angle phase piston estimator ("target", "median",
+        "none") — see the inline comment at the blend step.
+    coverage_weighted : bool, weight the proximal blend by illumination
+        coverage so weakly-measured pixels lean on the consensus volume
+        (measured +0.1 corr on sharp phantoms; exact unweighted blend
+        when False).
 
     Returns
     -------
@@ -89,6 +107,39 @@ def reconstruct_joint_admm(
     hobj = np.ones_like(psi)
     lamda = np.zeros_like(psi)
     params = [copy.deepcopy(p) for p in parameters]
+
+    # Per-angle illumination coverage (sum of |probe|^2 over scan windows,
+    # the psi-preconditioner quantity). Used to weight the proximal blend:
+    # per-angle ptychography phase error concentrates where coverage is low
+    # (measured 0.21 vs 0.09 rad rms on the quality benchmark), and
+    # substituting the consensus there — which the volume fit fills from
+    # the OTHER angles' well-measured projections of the same voxels —
+    # lifts the reconstruction (scripts/admm_quality.py). Uniform weight
+    # w = 1 reduces the blend exactly to the unweighted (raw + rho*t)/(1+rho).
+    if coverage_weighted:
+        from tike_tpu.ops.patch import patch_adj as _patch_adj
+
+        weights = []
+        for p in params:
+            pw = np.sum(
+                np.square(np.abs(np.asarray(p.probe))[0, 0]), axis=0
+            ).astype(np.float32)
+            npos = p.scan.shape[0]
+            cov = np.asarray(
+                _patch_adj(
+                    jnp.asarray(
+                        np.broadcast_to(
+                            pw, (npos, pw.shape[0], pw.shape[1])
+                        ).astype(np.complex64)
+                    ),
+                    jnp.asarray(p.scan, dtype=jnp.float32),
+                    psi.shape[-2:],
+                )
+            ).real
+            weights.append(cov / (cov.mean() + 1e-12))
+        weights = np.asarray(weights, dtype=np.float32)
+    else:
+        weights = np.ones((T,) + psi.shape[-2:], dtype=np.float32)
     for p in params:
         # The periodic object-magnitude rescale fixes the psi/probe scale
         # degeneracy of STANDALONE ptychography; under ADMM the consensus
@@ -136,7 +187,8 @@ def reconstruct_joint_admm(
                 raw = raw * np.exp(-1j * np.median(d))
             elif gauge != "none":
                 raise ValueError(f"unknown gauge: {gauge!r}")
-            psi[t] = (raw + rho * target) / (1 + rho)
+            w = weights[t]
+            psi[t] = (w * raw + rho * target) / (w + rho)
         costs.append(float(np.mean(angle_costs)))
 
         # 2. Log-linearize the projections.
