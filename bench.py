@@ -30,7 +30,7 @@ import numpy as np
 
 _TOTAL_BUDGET_S = 780.0  # leave headroom inside the driver's ~900 s window
 _PROBE_TIMEOUT_S = 45.0
-_DATA_CACHE = "/tmp/tike_bench_data_v1.npz"
+_DATA_CACHE = "/tmp/tike_bench_data_v2.npz"  # v2: tp.gaussian aperture probe
 
 
 def _emit(record):
@@ -88,17 +88,24 @@ def _make_inputs(n_patterns, det=128, probe_shape=128, hw=1500):
         np.exp(1j * 0.5 * np.sin(17 * yy) * np.cos(13 * xx))
         * (0.9 + 0.1 * np.cos(23 * xx * yy))
     ).astype(np.complex64)[None]
-    # gaussian window without importing tike_tpu (parent stays jax-free)
-    r = np.arange(probe_shape) - (probe_shape - 1) / 2
-    g = np.exp(-(r**2) / (2 * (probe_shape / 6) ** 2))
-    win = (g[:, None] * g[None, :]).astype(np.float32)
+    # tike_tpu.ptycho.gaussian(size) — the soft-edged circular aperture the
+    # r1-r3 benchmarks used — inlined verbatim so the parent stays jax-free
+    # (importing tike_tpu pulls in jax, which hangs when the relay wedges).
+    size, rin, rout = probe_shape, 0.8, 1.0
+    r, c = np.mgrid[:size, :size] + 0.5
+    rs = np.sqrt((r - size / 2) ** 2 + (c - size / 2) ** 2)
+    rmax = np.sqrt(2) * 0.5 * rout * rs.max() + 1.0
+    rmin = np.sqrt(2) * 0.5 * rin * rs.max()
+    win = np.zeros((size, size), dtype=np.float32)
+    win[rs < rmin] = 1.0
+    zone = np.logical_and(rs > rmin, rs < rmax)
+    win[zone] = np.divide(rmax - rs[zone], rmax - rmin)
     probe = (win * np.exp(1j * 0.2 * win))[None, None, None].astype(np.complex64)
     return scan, psi, probe
 
 
 def _prepare_data(n_patterns):
     """Simulate (or load cached) benchmark data in the jax-free parent."""
-    scan, psi, probe = _make_inputs(n_patterns)
     if os.path.exists(_DATA_CACHE):
         try:
             with np.load(_DATA_CACHE) as f:
@@ -106,6 +113,7 @@ def _prepare_data(n_patterns):
                     return
         except Exception:
             pass
+    scan, psi, probe = _make_inputs(n_patterns)
     data = _simulate_numpy(128, probe, scan, psi)
     tmp = _DATA_CACHE + ".tmp.npz"  # np.savez appends .npz to bare names
     np.savez(tmp, data=data)
@@ -141,6 +149,7 @@ def _run_with_budget(argv):
     except Exception as e:  # never let data prep kill the record
         print(f"bench: data prep failed, child will simulate: {e}", file=sys.stderr)
 
+    solver = argv[1] if len(argv) > 1 else "lsqml"
     last_err = "no attempt made"
     attempt = 0
     while time.monotonic() < deadline - _PROBE_TIMEOUT_S:
@@ -179,7 +188,7 @@ def _run_with_budget(argv):
     # Total failure: still emit a parseable record so the driver logs a value.
     _emit(
         {
-            "metric": "lsqml_epoch_patterns_per_sec_128px",
+            "metric": f"{solver}_epoch_patterns_per_sec_128px",
             "value": 0.0,
             "unit": "patterns/s",
             "vs_baseline": 0.0,
@@ -206,12 +215,18 @@ def main():
     np.asarray(jax.device_get(jnp.ones((8, 128)) @ jnp.ones((128, 8))))
 
     scan, psi, probe = _make_inputs(n_patterns)
+    data = None
     if os.path.exists(_DATA_CACHE):
-        with np.load(_DATA_CACHE) as f:
-            data = f["data"]
-        if data.shape[0] != n_patterns:
-            data = _simulate_numpy(128, probe, scan, psi)
-    else:
+        # The parent promises "child will simulate" if its data prep failed,
+        # so a corrupt/foreign cache file must not kill the attempt.
+        try:
+            with np.load(_DATA_CACHE) as f:
+                cached = f["data"]
+            if cached.shape[0] == n_patterns:
+                data = cached
+        except Exception as e:
+            print(f"bench child: ignoring bad cache: {e}", file=sys.stderr)
+    if data is None:
         data = _simulate_numpy(128, probe, scan, psi)
 
     params = tp.PtychoParameters(

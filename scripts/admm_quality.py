@@ -38,44 +38,30 @@ def corr(a, b):
     return float(np.abs(np.vdot(a, b)) / (na * nb))
 
 
-def main():
-    import jax
+def setup_problem(phantom, n=48, T=16, P=16, NPOS=150):
+    """Build the benchmark problem (shared with tests/test_admm_quality.py).
 
-    platform = os.environ.get("TIKE_DEMO_PLATFORM", "cpu")
-    try:
-        jax.config.update("jax_platforms", platform)
-    except RuntimeError:
-        pass
-
+    Returns (obj_true, theta, psi_true, data, params, voxelsize, energy).
+    Weak-phase 3D phantom: a blobby object (band-limited; corr is a
+    meaningful structure metric) or a sharp-edged cube (the regime that
+    stalled at corr 0.70 in round 3). Max line integral ~ n/2 voxels.
+    """
     import jax.numpy as jnp
 
-    import tike_tpu.admm
-    import tike_tpu.lamino
     import tike_tpu.ptycho as tp
     from tike_tpu.constants import wavenumber
     from tike_tpu.ops.lamino import LaminoConfig, lamino_fwd
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 48
-    T = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 12
-    rho = float(sys.argv[4]) if len(sys.argv) > 4 else 0.5
-    phantom = sys.argv[5] if len(sys.argv) > 5 else "blobs"
-    gauge = sys.argv[6] if len(sys.argv) > 6 else "target"
-    P = 16
-    NPOS = 150
     energy, voxelsize = 10.0, 1e-7
     k = wavenumber(energy)
-
     rng = np.random.default_rng(0)
-    # Weak-phase 3D object: a blobby phantom (not a uniform cube, so corr is
-    # a meaningful structure metric). Max line integral ~ n/2 voxels.
     delta = 0.5 / (k * voxelsize * n / 2)
-    yy, xx, zz = np.mgrid[0:n, 0:n, 0:n] / n - 0.5
     obj_true = np.zeros((n, n, n), dtype=np.complex64)
     if phantom == "cube":
         s = slice(n // 4, 3 * n // 4)
         obj_true[s, s, s] = delta * (1 + 0.1j)
     else:
+        yy, xx, zz = np.mgrid[0:n, 0:n, 0:n] / n - 0.5
         for cy, cx, cz, r, w in [
             (-0.15, 0.1, 0.0, 0.22, 1.0),
             (0.18, -0.12, 0.08, 0.15, 0.7),
@@ -94,15 +80,6 @@ def main():
         * voxelsize
     )
     psi_true = np.exp(1j * k * lines).astype(np.complex64)
-
-    # Ceiling: pure lamino CG from the TRUE phase projections.
-    phi_true = (lines / voxelsize).astype(np.complex64)
-    ceil = tike_tpu.lamino.reconstruct(
-        data=phi_true, theta=theta, tilt=np.pi / 2,
-        algorithm="cgrad", num_iter=32, eps=1e-3, upsample=2,
-    )
-    ceiling_corr = corr(np.asarray(ceil["obj"]), obj_true)
-
     probe = (tp.gaussian(P) * (1 + 0j))[None, None, None].astype(np.complex64)
     scan = np.stack(
         [rng.uniform(2, n - P - 3, NPOS), rng.uniform(2, n - P - 3, NPOS)],
@@ -123,6 +100,44 @@ def main():
         )
         for _ in range(T)
     ]
+    return obj_true, theta, psi_true, data, params, voxelsize, energy
+
+
+def main():
+    import jax
+
+    platform = os.environ.get("TIKE_DEMO_PLATFORM", "cpu")
+    try:
+        jax.config.update("jax_platforms", platform)
+    except RuntimeError:
+        pass
+
+    import tike_tpu.admm
+    import tike_tpu.lamino
+    import tike_tpu.ptycho as tp
+    from tike_tpu.constants import wavenumber
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 48
+    T = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 12
+    rho = float(sys.argv[4]) if len(sys.argv) > 4 else 0.5
+    phantom = sys.argv[5] if len(sys.argv) > 5 else "blobs"
+    gauge = sys.argv[6] if len(sys.argv) > 6 else "target"
+    P = 16
+    k = wavenumber(10.0)
+
+    (obj_true, theta, psi_true, data, params,
+     voxelsize, energy) = setup_problem(phantom, n=n, T=T, P=P)
+
+    # Ceiling: pure lamino CG from the TRUE phase projections
+    # (psi_true = exp(i k voxelsize phi_true), |phase| < pi so exact).
+    phi_true = (np.angle(psi_true) / (k * voxelsize)).astype(np.complex64)
+    ceil = tike_tpu.lamino.reconstruct(
+        data=phi_true, theta=theta, tilt=np.pi / 2,
+        algorithm="cgrad", num_iter=32, eps=1e-3, upsample=2,
+    )
+    ceiling_corr = corr(np.asarray(ceil["obj"]), obj_true)
+    scan = params[0].scan
 
     t0 = time.perf_counter()
     result = tike_tpu.admm.reconstruct_joint_admm(
@@ -136,6 +151,7 @@ def main():
 
     # Also: corr of a standalone-ptycho + lamino two-step (no ADMM coupling)
     # as the naive pipeline baseline the ADMM must beat.
+    probe = params[0].probe
     phi_est = []
     for t in range(T):
         p = tp.PtychoParameters(

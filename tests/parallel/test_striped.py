@@ -246,6 +246,55 @@ def test_striped_position_correction_improves_positions():
     assert err1 < 1.5 * err_rep + 0.1, (err1, err_rep)
 
 
+def test_striped_position_correction_stays_globally_valid():
+    """Position drift never leaves the GLOBAL valid window [1, H - P).
+
+    The first stripe's upper halo and last stripe's lower halo are zero
+    padding, not object: the in-program clamp must use per-stripe bounds
+    so a near-edge position cannot drift to a globally invalid row (the
+    reference errors via check_allowed_positions, `position.py:600-628`).
+    Regression: stripe-0 positions used to clamp to local row 1 == global
+    row 1 - halo < 1, so `get_result()` returned scan values < 1 and
+    `copy_to_host()` raised at context exit.
+    """
+    from tike_tpu.ptycho.position import check_allowed_positions
+
+    psi_true, probe, scan, data = _setup(n=256)
+    P = probe.shape[-1]
+    H = psi_true.shape[-2]
+    # Pin some positions right at the top and bottom global edges so any
+    # inward-biased update pressure pushes them against the bounds.
+    scan = scan.copy()
+    scan[:12, 0] = np.linspace(1.0, 2.0, 12)
+    scan[12:24, 0] = np.linspace(H - P - 2.0, H - P - 1.1, 12)
+    data = tp.simulate(P, probe, scan, psi_true).astype(np.float32)
+    rng = np.random.default_rng(3)
+    perturbed = scan + rng.uniform(-0.7, 0.7, scan.shape).astype(np.float32)
+    # The perturbed INPUT must itself be valid; the interesting part is
+    # whether the solver's updates keep it that way.
+    perturbed[:, 0] = np.clip(perturbed[:, 0], 1.0, H - P - 0.01)
+    perturbed[:, 1] = np.clip(perturbed[:, 1], 1.0, H - P - 0.01)
+    params = tp.PtychoParameters(
+        probe=probe.copy(),
+        psi=np.full_like(psi_true, 0.5),
+        scan=perturbed,
+        position_options=tp.PositionOptions(initial_scan=perturbed),
+        algorithm_options=tp.LstsqOptions(num_batch=2, num_iter=6),
+        object_options=tp.ObjectOptions(),
+        probe_options=tp.ProbeOptions(init_rescale_from_measurements=False),
+    )
+    with tp.Reconstruction(
+        data, params, mesh=make_mesh(), object_sharding="striped"
+    ) as ctx:
+        ctx.iterate(6)
+        res = ctx.get_result()
+        # Must not raise: every corrected position is globally valid.
+        check_allowed_positions(res.scan, res.psi, res.probe.shape)
+        # And the context-exit host copy (which re-validates) must work.
+        host = ctx.parameters.copy_to_host()
+    assert np.isfinite(host.scan).all()
+
+
 def test_striped_probe_schedule_and_fixed_probe():
     """update_start is honored, and probe_options=None keeps probe fixed.
 

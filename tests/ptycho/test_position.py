@@ -118,6 +118,60 @@ if __name__ == "__main__":
     unittest.main()
 
 
+def test_position_clamp_preserves_valid_edge_positions():
+    """Positions check_allowed_positions accepts are never clamped inward.
+
+    Regression: the drift clamp used an upper bound one pixel tighter than
+    the valid window, silently dragging correct near-edge positions inward
+    each epoch (up to ~2 px) even with a zero position gradient; and the
+    fused path applied the clamp on epochs before update_start.
+    """
+    rng = np.random.default_rng(5)
+    P, HW = 8, 44
+    psi = np.exp(
+        1j * 0.3 * rng.standard_normal((1, HW, HW))
+    ).astype(np.complex64)
+    probe = (tp.gaussian(P) * (1 + 0j))[None, None, None].astype(
+        np.complex64
+    )
+    scan = np.array(
+        [[HW - P - 1.2, 5.0], [5.0, HW - P - 1.2], [20.0, 20.0],
+         [10.3, 30.7]],
+        dtype=np.float32,
+    )
+    # check_allowed_positions accepts these (floor <= HW - P - 1).
+    tp.check_allowed_positions(scan, psi, (P, P))
+    data = tp.simulate(P, probe, scan, psi).astype(np.float32)
+
+    # (a) epochs BEFORE update_start must leave positions bit-identical.
+    params = tp.PtychoParameters(
+        probe=probe.copy(), psi=psi.copy(), scan=scan.copy(),
+        algorithm_options=tp.LstsqOptions(num_batch=1, num_iter=2),
+        object_options=None, probe_options=None,
+        position_options=tp.PositionOptions(
+            scan.copy(), update_start=100
+        ),
+    )
+    params.algorithm_options.rescale_period = int(1e9)
+    result = tp.reconstruct(data, params)
+    np.testing.assert_array_equal(result.scan, scan)
+
+    # (b) with updates active and the data already consistent (object at
+    # truth), the near-edge positions must not be dragged inward by the
+    # clamp: any movement is bounded by the tiny magnitude limit.
+    params = tp.PtychoParameters(
+        probe=probe.copy(), psi=psi.copy(), scan=scan.copy(),
+        algorithm_options=tp.LstsqOptions(num_batch=1, num_iter=3),
+        object_options=None, probe_options=None,
+        position_options=tp.PositionOptions(
+            scan.copy(), update_magnitude_limit=1e-5
+        ),
+    )
+    params.algorithm_options.rescale_period = int(1e9)
+    result = tp.reconstruct(data, params)
+    assert np.abs(result.scan - scan).max() < 1e-3, result.scan
+
+
 @pytest.mark.slow
 def test_lstsq_position_recovery_pinned():
     """Solver-level position correction recovers perturbed positions.

@@ -10,16 +10,12 @@ so a quality regression is visible in CI, not just a cost decrease:
   two-step pipeline measures 0.907); pinned at 0.93.
 """
 
+import os
+
 import numpy as np
 import pytest
 
-import jax.numpy as jnp
-
 import tike_tpu.admm
-import tike_tpu.lamino
-import tike_tpu.ptycho as tp
-from tike_tpu.constants import wavenumber
-from tike_tpu.ops.lamino import LaminoConfig, lamino_fwd
 
 
 def _corr(a, b):
@@ -29,54 +25,24 @@ def _corr(a, b):
     )
 
 
-def _setup(phantom, n=48, T=16, P=16, NPOS=150):
-    energy, voxelsize = 10.0, 1e-7
-    k = wavenumber(energy)
-    rng = np.random.default_rng(0)
-    delta = 0.5 / (k * voxelsize * n / 2)
-    obj_true = np.zeros((n, n, n), dtype=np.complex64)
-    if phantom == "cube":
-        s = slice(n // 4, 3 * n // 4)
-        obj_true[s, s, s] = delta * (1 + 0.1j)
-    else:
-        yy, xx, zz = np.mgrid[0:n, 0:n, 0:n] / n - 0.5
-        for cy, cx, cz, r, w in [
-            (-0.15, 0.1, 0.0, 0.22, 1.0),
-            (0.18, -0.12, 0.08, 0.15, 0.7),
-            (0.0, 0.15, -0.18, 0.10, 1.3),
-        ]:
-            blob = np.exp(
-                -(((yy - cy) ** 2 + (xx - cx) ** 2 + (zz - cz) ** 2) / r**2)
-                * 4
-            )
-            obj_true += (w * delta * (1 + 0.1j) * blob).astype(np.complex64)
-    theta = np.linspace(0, np.pi, T, endpoint=False).astype(np.float32)
-    cfg = LaminoConfig(n=n, tilt=np.pi / 2, eps=1e-3, upsample=2)
-    lines = (
-        np.asarray(lamino_fwd(cfg, jnp.asarray(obj_true), jnp.asarray(theta)))
-        * voxelsize
+def _load_quality_script():
+    """Import scripts/admm_quality.py (the canonical measuring tool) so the
+    pinned thresholds and the script measure the exact same problem."""
+    import importlib.util
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "..", "scripts", "admm_quality.py",
     )
-    psi_true = np.exp(1j * k * lines).astype(np.complex64)
-    probe = (tp.gaussian(P) * (1 + 0j))[None, None, None].astype(np.complex64)
-    scan = np.stack(
-        [rng.uniform(2, n - P - 3, NPOS), rng.uniform(2, n - P - 3, NPOS)],
-        -1,
-    ).astype(np.float32)
-    data = [
-        tp.simulate(P, probe, scan, psi_true[t][None]).astype(np.float32)
-        for t in range(T)
-    ]
-    params = [
-        tp.PtychoParameters(
-            probe=probe.copy(),
-            psi=np.ones((1, n, n), np.complex64),
-            scan=scan.copy(),
-            algorithm_options=tp.RpieOptions(num_batch=2, num_iter=2),
-            object_options=tp.ObjectOptions(),
-            probe_options=None,
-        )
-        for _ in range(T)
-    ]
+    spec = importlib.util.spec_from_file_location("admm_quality", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _setup(phantom):
+    (obj_true, theta, psi_true, data, params, voxelsize, energy
+     ) = _load_quality_script().setup_problem(phantom)
     return obj_true, theta, data, params, voxelsize, energy
 
 

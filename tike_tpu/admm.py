@@ -95,6 +95,8 @@ def reconstruct_joint_admm(
     """
     import tike_tpu.ptycho as tp
 
+    if gauge not in ("target", "median", "none"):
+        raise ValueError(f"unknown gauge: {gauge!r}")
     T = len(theta)
     assert len(data) == T and len(parameters) == T
     n = parameters[0].psi.shape[-1]

@@ -1094,6 +1094,7 @@ def setup_striped_full(
         ndev=ndev,
         halo=plan.halo,
         hs=plan.stripe_height,
+        height=h,
     )
 
     if measured_pixels is None:
@@ -1243,9 +1244,15 @@ def _striped_iterate_streamed(
     det = state.data_host.shape[-1]
     per_batch_dev_bytes = L * det * det * 4
     env_k = os.environ.get("TIKE_STREAM_CHUNK")
+    K = 0
     if env_k:
-        K = max(1, min(nb, int(env_k)))
-    else:
+        try:
+            K = max(1, min(nb, int(env_k)))
+        except ValueError:
+            logger.warning(
+                "ignoring non-integer TIKE_STREAM_CHUNK=%r", env_k
+            )
+    if not K:
         K = int(max(1, min(nb, (256 * 2**20) // max(per_batch_dev_bytes, 1))))
     chunk_prog = make_chunk(K) if K > 1 else None
 
@@ -1513,15 +1520,26 @@ def striped_set_scan(state: StripedState, scan_g: np.ndarray) -> None:
     """
     from . import put_process_local
 
+    from tike_tpu.ptycho.solvers.lstsq import _POS_EDGE
+
     cfg = state.epoch_plan.cfg
     p = cfg.probe_shape
     scan_l = _fetch_dev(state.scan).copy()
     for k, sel in enumerate(state.order):
         nk = len(sel)
         local = np.asarray(scan_g[sel], np.float32).copy()
-        local[:, 0] += state.plan.halo - k * state.plan.stripe_height
-        local[:, 0] = np.clip(local[:, 0], 1.0, cfg.nz - p - 2.0)
-        local[:, 1] = np.clip(local[:, 1], 1.0, cfg.n - p - 2.0)
+        off = state.plan.halo - k * state.plan.stripe_height
+        local[:, 0] += off
+        # Same per-stripe bounds as the in-program clamp: the local
+        # window interior, intersected with the GLOBAL valid region
+        # [1, H - P) mapped into local coordinates (the first stripe's
+        # upper halo / last stripe's lower halo are padding, not object).
+        local[:, 0] = np.clip(
+            local[:, 0],
+            max(1.0, 1.0 + off),
+            min(cfg.nz - p - 2.0, state.height - p - _POS_EDGE + off),
+        )
+        local[:, 1] = np.clip(local[:, 1], 1.0, cfg.n - p - _POS_EDGE)
         scan_l[k, :nk] = local
     own = _own_stripe_rows(state.mesh)
     state.scan = put_process_local(

@@ -43,6 +43,7 @@ from ._preconditioner import (
     _psi_precond_math,
 )
 from .lstsq import (
+    _POS_EDGE,
     _fz,
     _lstsq_batch_math,
     _masked_trim_mean,
@@ -179,6 +180,7 @@ class StripeComm:
     ndev: int
     halo: int
     hs: int  # stripe interior height
+    height: int  # global object height H (rows), before stripe padding
 
 
 def _epoch_begin_math(
@@ -775,16 +777,43 @@ def _epoch_end_math(
         # in striped mode, the full object otherwise): patch reads and
         # writes zero-weight past the bottom/right edge but are undefined
         # for negative corners, so a position that drifted out of bounds
-        # would corrupt gradients without error. The clamp bounds total
-        # drift to check_allowed_positions's valid region (the reference
-        # errors via check_allowed_positions at result time instead).
-        scan = jnp.stack(
+        # would corrupt gradients without error. Replicated mode clamps
+        # to exactly check_allowed_positions's valid region
+        # (corner floor <= dim - P - 1, i.e. values < dim - P), so valid
+        # near-edge positions are never moved. Striped mode needs
+        # per-stripe row bounds: local rows map to global rows
+        # local - halo + i*hs, and the FIRST stripe's upper halo and the
+        # LAST stripe's lower halo are zero padding outside the object —
+        # a position drifting there would be globally invalid (scan < 1
+        # or scan >= H - P) even though it is inside the local window.
+        # Interior halo rows are real neighbor rows and stay allowed up
+        # to a 2-pixel local margin. Applied only when the update itself
+        # is gated on (pos_gate), matching the host path, which does not
+        # touch positions before update_start.
+        if comm is None:
+            lo0 = 1.0
+            hi0 = cfg.nz - cfg.probe_shape - _POS_EDGE
+            hi1 = cfg.n - cfg.probe_shape - _POS_EDGE
+        else:
+            off = (
+                comm.halo
+                - jax.lax.axis_index(comm.axis).astype(jnp.float32)
+                * comm.hs
+            )
+            lo0 = jnp.maximum(1.0, 1.0 + off)
+            hi0 = jnp.minimum(
+                cfg.nz - cfg.probe_shape - 2.0,
+                comm.height - cfg.probe_shape - _POS_EDGE + off,
+            )
+            hi1 = cfg.n - cfg.probe_shape - _POS_EDGE
+        clamped = jnp.stack(
             [
-                jnp.clip(scan[:, 0], 1.0, cfg.nz - cfg.probe_shape - 2.0),
-                jnp.clip(scan[:, 1], 1.0, cfg.n - cfg.probe_shape - 2.0),
+                jnp.clip(scan[:, 0], lo0, hi0),
+                jnp.clip(scan[:, 1], 1.0, hi1),
             ],
             axis=-1,
         )
+        scan = jnp.where(pos_gate, clamped, scan)
     if plan.compact:
         if plan.solver == "lstsq":
             if plan.recover_psi:

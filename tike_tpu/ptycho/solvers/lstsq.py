@@ -355,6 +355,13 @@ def _precondition_object_update(
     )
 
 
+# Largest float margin below the valid-position limit dim - P: positions
+# clamp to dim - P - _POS_EDGE, whose floor is dim - P - 1 — the exact
+# upper corner check_allowed_positions accepts. Exactly representable in
+# float32 (2^-8) and large enough to survive rounding at realistic dims.
+_POS_EDGE = 1.0 / 256.0
+
+
 def _update_position(
     scan,
     position_options,
@@ -405,14 +412,22 @@ def _update_position(
 
     scan = scan - step
     if bounds is not None:
+        # Clamp drift to exactly check_allowed_positions's valid window
+        # (corner floor <= dim - P - 1, i.e. values strictly below
+        # dim - P): _POS_EDGE keeps the float below that limit without
+        # moving any position the driver-level check would accept.
         psi_shape, probe_shape = bounds
         scan = jnp.stack(
             [
                 jnp.clip(
-                    scan[..., 0], 1.0, psi_shape[-2] - probe_shape[-2] - 2.0
+                    scan[..., 0],
+                    1.0,
+                    psi_shape[-2] - probe_shape[-2] - _POS_EDGE,
                 ),
                 jnp.clip(
-                    scan[..., 1], 1.0, psi_shape[-1] - probe_shape[-1] - 2.0
+                    scan[..., 1],
+                    1.0,
+                    psi_shape[-1] - probe_shape[-1] - _POS_EDGE,
                 ),
             ],
             axis=-1,
