@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Run every pending on-chip measurement in one relay-alive window.
+
+The tunneled TPU relay wedges for long stretches (see ROUND3/4 notes), and
+— critically — killing a client mid-program (SIGTERM during an in-flight
+TPU call) is itself a reliable way to wedge it. So this orchestrator:
+
+- is jax-free in the parent (import jax can hang when the relay is wedged);
+- probes the relay cheaply (45 s child) before each job and between
+  retries, so a wedge costs a probe, not a job timeout;
+- runs the jobs SEQUENTIALLY in subprocesses with generous timeouts sized
+  to each job's real runtime, never two at once (one host core, and the
+  relay serializes programs anyway);
+- logs each job's stdout+stderr to /root/repo/profile/onchip/<name>.log and
+  prints a one-line OK/FAIL summary at the end.
+
+Usage: python scripts/onchip_all.py [job ...]
+  jobs (default order): bench chip_smoke pallas_probe roofline opbench bench_all
+"""
+
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LOGDIR = os.path.join(ROOT, "profile", "onchip")
+
+# name -> (argv, timeout_s)
+JOBS = {
+    "bench": ([sys.executable, "bench.py"], 900),
+    "chip_smoke": ([sys.executable, "scripts/chip_smoke.py"], 1500),
+    "pallas_probe": ([sys.executable, "scripts/pallas_probe.py"], 900),
+    "roofline": ([sys.executable, "profile/roofline_tpu.py", "1000", "16"], 1200),
+    "opbench": ([sys.executable, "profile/opbench_tpu.py", "1000", "8"], 1200),
+    "bench_all": (
+        [
+            sys.executable,
+            "bench_all.py",
+            "rpie_siemens",
+            "lsqml_opr_pos",
+            "lamino_cgrad",
+            "admm_joint",
+        ],
+        2400,
+    ),
+}
+DEFAULT_ORDER = [
+    "bench",
+    "chip_smoke",
+    "pallas_probe",
+    "roofline",
+    "opbench",
+    "bench_all",
+]
+
+_PROBE_CODE = (
+    "import jax, jax.numpy as jnp, numpy as np;"
+    "x = np.asarray(jax.device_get(jnp.ones((8, 128)) @ jnp.ones((128, 8))));"
+    "print('RELAY_OK', float(x.sum()), flush=True)"
+)
+
+
+def probe_relay(timeout=45.0):
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _PROBE_CODE],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+            cwd=ROOT,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return proc.returncode == 0 and "RELAY_OK" in proc.stdout
+
+
+def wait_for_relay(max_wait_s):
+    deadline = time.monotonic() + max_wait_s
+    n = 0
+    while time.monotonic() < deadline:
+        n += 1
+        if probe_relay():
+            return True
+        print(
+            f"[onchip] relay wedged (probe {n}); retry in 60 s",
+            flush=True,
+        )
+        time.sleep(60)
+    return False
+
+
+def main():
+    os.makedirs(LOGDIR, exist_ok=True)
+    names = sys.argv[1:] or DEFAULT_ORDER
+    max_wait = float(os.environ.get("ONCHIP_MAX_WAIT_S", 6 * 3600))
+    results = {}
+    for name in names:
+        argv, timeout = JOBS[name]
+        if not wait_for_relay(max_wait):
+            results[name] = "SKIP (relay never came up)"
+            print(f"[onchip] {name}: relay never came up", flush=True)
+            continue
+        log = os.path.join(LOGDIR, f"{name}.log")
+        print(f"[onchip] running {name} -> {log}", flush=True)
+        t0 = time.perf_counter()
+        with open(log, "w") as fh:
+            try:
+                proc = subprocess.run(
+                    argv, stdout=fh, stderr=subprocess.STDOUT,
+                    timeout=timeout, cwd=ROOT,
+                )
+                rc = proc.returncode
+            except subprocess.TimeoutExpired:
+                rc = "TIMEOUT"
+        dt = time.perf_counter() - t0
+        results[name] = f"rc={rc} ({dt:.0f}s)"
+        print(f"[onchip] {name}: rc={rc} in {dt:.0f}s", flush=True)
+    print("[onchip] ==== summary ====", flush=True)
+    for name, r in results.items():
+        print(f"[onchip] {name}: {r}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
