@@ -202,7 +202,7 @@ def main():
     import jax
 
     import tike_tpu.ptycho as tp
-    from tike_tpu.utils import transfer
+    from tike_tpu.utils import pairs, transfer
 
     n_patterns = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
     solver = sys.argv[2] if len(sys.argv) > 2 else "lsqml"
@@ -248,7 +248,11 @@ def main():
     n_timed = 3
 
     def _sync():
-        transfer.scalar(jnp.abs(jnp.asarray(context.parameters.psi)).sum())
+        # In relay pair-mode psi is a Pair (a (..., 2) float pytree node),
+        # which jnp.asarray rejects — sync on its float leaf instead.
+        psi = context.parameters.psi
+        leaf = psi.data if isinstance(psi, pairs.Pair) else psi
+        transfer.scalar(jnp.abs(jnp.asarray(leaf)).sum())
 
     context.iterate(n_timed)
     _sync()
