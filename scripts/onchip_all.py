@@ -90,32 +90,76 @@ def wait_for_relay(max_wait_s):
     return False
 
 
+def job_succeeded(name, rc, log):
+    """rc==0 plus job-specific sanity: bench exits 0 even on total failure
+    (it emits an error JSON record so the driver never sees rc=124), so
+    its success test is a real value in the final JSON line."""
+    if rc != 0:
+        return False
+    if name in ("bench", "bench_all"):
+        try:
+            with open(log) as fh:
+                lines = [ln for ln in fh if ln.startswith("{")]
+            if not lines:
+                return False
+            import json
+
+            recs = [json.loads(ln) for ln in lines]
+            return all(
+                "error" not in r and r.get("value", 0) > 0 for r in recs
+            )
+        except Exception:
+            return False
+    return True
+
+
 def main():
     os.makedirs(LOGDIR, exist_ok=True)
     names = sys.argv[1:] or DEFAULT_ORDER
-    max_wait = float(os.environ.get("ONCHIP_MAX_WAIT_S", 6 * 3600))
+    max_wait = float(os.environ.get("ONCHIP_MAX_WAIT_S", 1800))
+    total_s = float(os.environ.get("ONCHIP_TOTAL_S", 9 * 3600))
+    deadline = time.monotonic() + total_s
     results = {}
-    for name in names:
-        argv, timeout = JOBS[name]
-        if not wait_for_relay(max_wait):
-            results[name] = "SKIP (relay never came up)"
-            print(f"[onchip] {name}: relay never came up", flush=True)
-            continue
-        log = os.path.join(LOGDIR, f"{name}.log")
-        print(f"[onchip] running {name} -> {log}", flush=True)
-        t0 = time.perf_counter()
-        with open(log, "w") as fh:
-            try:
-                proc = subprocess.run(
-                    argv, stdout=fh, stderr=subprocess.STDOUT,
-                    timeout=timeout, cwd=ROOT,
-                )
-                rc = proc.returncode
-            except subprocess.TimeoutExpired:
-                rc = "TIMEOUT"
-        dt = time.perf_counter() - t0
-        results[name] = f"rc={rc} ({dt:.0f}s)"
-        print(f"[onchip] {name}: rc={rc} in {dt:.0f}s", flush=True)
+    pending = list(names)
+    round_no = 0
+    # Retry failed jobs in rounds until everything passed or time is up:
+    # the relay alternates alive/wedged on minute-to-hour scales, so a
+    # one-pass schedule loses whole jobs to a single wedge.
+    while pending and time.monotonic() < deadline:
+        round_no += 1
+        still_pending = []
+        for name in pending:
+            argv, timeout = JOBS[name]
+            if not wait_for_relay(min(max_wait, deadline - time.monotonic())):
+                results[name] = "PENDING (relay down)"
+                still_pending.append(name)
+                continue
+            log = os.path.join(LOGDIR, f"{name}.log")
+            print(f"[onchip] r{round_no} running {name} -> {log}", flush=True)
+            t0 = time.perf_counter()
+            with open(log, "w") as fh:
+                try:
+                    proc = subprocess.run(
+                        argv, stdout=fh, stderr=subprocess.STDOUT,
+                        timeout=timeout, cwd=ROOT,
+                    )
+                    rc = proc.returncode
+                except subprocess.TimeoutExpired:
+                    rc = "TIMEOUT"
+            dt = time.perf_counter() - t0
+            ok = job_succeeded(name, rc, log)
+            results[name] = f"rc={rc} ({dt:.0f}s){' OK' if ok else ' RETRY'}"
+            print(
+                f"[onchip] r{round_no} {name}: rc={rc} in {dt:.0f}s "
+                f"{'OK' if ok else 'will retry'}",
+                flush=True,
+            )
+            if not ok:
+                still_pending.append(name)
+        if still_pending == pending and round_no > 1:
+            # Nothing progressed this round; back off before the next.
+            time.sleep(120)
+        pending = still_pending
     print("[onchip] ==== summary ====", flush=True)
     for name, r in results.items():
         print(f"[onchip] {name}: {r}", flush=True)
