@@ -76,13 +76,22 @@ def _siemens():
 
 def _timed_epochs(context, n_timed: int):
     """Time n_timed epochs after an identically-shaped warmup call."""
-    import jax
+    import jax.numpy as jnp
+
+    from tike_tpu.utils import pairs, transfer
+
+    def _sync():
+        # block_until_ready does not actually block on the relay; force a
+        # real host transfer of a scalar. psi is a Pair in relay pair mode.
+        psi = context.parameters.psi
+        leaf = psi.data if isinstance(psi, pairs.Pair) else psi
+        transfer.scalar(jnp.abs(jnp.asarray(leaf)).sum())
 
     context.iterate(n_timed)
-    jax.block_until_ready(context.parameters.psi)
+    _sync()
     start = time.perf_counter()
     context.iterate(n_timed)
-    jax.block_until_ready(context.parameters.psi)
+    _sync()
     return time.perf_counter() - start
 
 

@@ -45,13 +45,16 @@ JOBS = {
         2400,
     ),
 }
+# Highest-value first: relay-alive windows are short (6-15 min observed),
+# so the driver-metric bench, the roofline attribution, and the Pallas
+# compile probe must land before the longer smoke/bench_all sweeps.
 DEFAULT_ORDER = [
     "bench",
-    "chip_smoke",
-    "pallas_probe",
     "roofline",
+    "pallas_probe",
     "opbench",
     "bench_all",
+    "chip_smoke",
 ]
 
 _PROBE_CODE = (
