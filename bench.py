@@ -12,8 +12,9 @@ Structured to fit the driver's ~900 s envelope (VERDICT r3 item 1):
   that ``import jax`` hangs at interpreter start via sitecustomize).
 - Benchmark data is simulated ONCE in the parent (pure numpy) and cached to
   /tmp so relay-wedge retries don't repay the simulation cost.
-- Each heavy attempt is preceded by a cheap 45 s "relay alive?" probe child;
-  a wedged relay costs 45 s per retry, not a full bench timeout.
+- Each heavy attempt is preceded by a cheap 120 s "relay alive?" probe child;
+  a wedged relay costs 120 s per retry, not a full bench timeout (120 s, not
+  45: a cold-but-alive relay needs ~110 s for its first program).
 - A global deadline bounds the whole run, there is no sleep after the final
   attempt, and the parent ALWAYS prints a parseable JSON line (an explicit
   error record on total failure) and exits 0 so the driver records a value
@@ -29,8 +30,19 @@ import time
 import numpy as np
 
 _TOTAL_BUDGET_S = 780.0  # leave headroom inside the driver's ~900 s window
-_PROBE_TIMEOUT_S = 45.0
+# A cold-but-alive relay has been observed to take ~110 s for its FIRST tiny
+# program (remote compiler spin-up); 45 s misclassified that as wedged.
+_PROBE_TIMEOUT_S = 120.0
 _DATA_CACHE = "/tmp/tike_bench_data_v2.npz"  # v2: tp.gaussian aperture probe
+# Every successful on-chip measurement is journaled here; on total relay
+# failure the error record carries the most recent one (clearly labeled as a
+# PRIOR measurement, never substituted for the live value).
+_LAST_GOOD = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "profile",
+    "onchip",
+    "last_good_bench.json",
+)
 
 
 def _emit(record):
@@ -181,20 +193,38 @@ def _run_with_budget(argv):
             None,
         )
         if proc.returncode == 0 and line is not None:
+            try:
+                rec = json.loads(line)
+                if rec.get("value", 0) > 0 and "error" not in rec:
+                    rec["measured_at"] = time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    )
+                    os.makedirs(os.path.dirname(_LAST_GOOD), exist_ok=True)
+                    with open(_LAST_GOOD, "w") as fh:
+                        json.dump(rec, fh)
+            except Exception:
+                pass
             print(line, flush=True)
             return 0
         last_err = f"child rc={proc.returncode}: {proc.stderr[-600:]}"
         print(f"bench attempt {attempt}: {last_err}", file=sys.stderr, flush=True)
     # Total failure: still emit a parseable record so the driver logs a value.
-    _emit(
-        {
-            "metric": f"{solver}_epoch_patterns_per_sec_128px",
-            "value": 0.0,
-            "unit": "patterns/s",
-            "vs_baseline": 0.0,
-            "error": f"relay unavailable: {last_err}",
-        }
-    )
+    record = {
+        "metric": f"{solver}_epoch_patterns_per_sec_128px",
+        "value": 0.0,
+        "unit": "patterns/s",
+        "vs_baseline": 0.0,
+        "error": f"relay unavailable: {last_err}",
+    }
+    # Attach the most recent successful on-chip measurement (if any) so a
+    # relay wedge at bench time does not erase the round's real number.
+    # This is explicitly a PRIOR measurement: value stays 0.0 above.
+    try:
+        with open(_LAST_GOOD) as fh:
+            record["last_good_onchip"] = json.load(fh)
+    except Exception:
+        pass
+    _emit(record)
     return 0
 
 
@@ -262,17 +292,24 @@ def main():
     elapsed = time.perf_counter() - start
 
     patterns_per_sec = n_patterns * n_timed / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": f"{solver}_epoch_patterns_per_sec_128px",
-                "value": round(patterns_per_sec, 1),
-                "unit": "patterns/s",
-                "vs_baseline": round(patterns_per_sec / 10_000, 3),
-            }
-        ),
-        flush=True,
-    )
+    record = {
+        "metric": f"{solver}_epoch_patterns_per_sec_128px",
+        "value": round(patterns_per_sec, 1),
+        "unit": "patterns/s",
+        "vs_baseline": round(patterns_per_sec / 10_000, 3),
+    }
+    # Journal in the child too: if the orchestrating parent died (observed
+    # when a relay-alive window opens mid-restart), the measurement must
+    # not be lost with the broken stdout pipe.
+    try:
+        rec = dict(record)
+        rec["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        os.makedirs(os.path.dirname(_LAST_GOOD), exist_ok=True)
+        with open(_LAST_GOOD, "w") as fh:
+            json.dump(rec, fh)
+    except Exception:
+        pass
+    print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":

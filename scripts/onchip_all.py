@@ -64,7 +64,9 @@ _PROBE_CODE = (
 )
 
 
-def probe_relay(timeout=45.0):
+def probe_relay(timeout=120.0):
+    # Cold-but-alive relay: first tiny program observed at ~110 s (remote
+    # compiler spin-up); a 45 s timeout misclassified that as wedged.
     try:
         proc = subprocess.run(
             [sys.executable, "-c", _PROBE_CODE],
