@@ -129,6 +129,35 @@ class TestCluster:
         assert idx.shape == (2, 4)
         np.testing.assert_array_equal(mask, [[1, 1, 1, 0], [1, 1, 0, 0]])
 
+    def test_by_scan_grid_partitions_and_is_spatial(self):
+        rng = np.random.default_rng(3)
+        scan = rng.random((200, 2)).astype(np.float32) * 100
+        cells = tike_tpu.cluster.by_scan_grid(scan, shape=(2, 3))
+        assert len(cells) == 6
+        allidx = np.sort(np.concatenate(cells))
+        np.testing.assert_array_equal(allidx, np.arange(200))
+        # Row-major order: first 3 cells hold the lower half of axis 0.
+        mid0 = np.median(scan[:, 0])
+        top = np.concatenate(cells[:3])
+        assert scan[top, 0].max() <= mid0 + 15  # contiguous lower stripe
+        # Each cell is a contiguous rectangle: axis-1 ranges of cells in the
+        # same row do not overlap (beyond boundary ties).
+        for row in (cells[:3], cells[3:]):
+            hi = -np.inf
+            for c in row:
+                if len(c) == 0:
+                    continue
+                assert scan[c, 1].min() >= hi - 1e-5
+                hi = scan[c, 1].max()
+
+    def test_by_scan_grid_fly_groups_stay_together(self):
+        rng = np.random.default_rng(4)
+        scan = rng.random((60, 2)).astype(np.float32) * 10
+        cells = tike_tpu.cluster.by_scan_grid(scan, shape=(2, 2), fly=3)
+        for c in cells:
+            assert len(c) % 3 == 0
+            np.testing.assert_array_equal(c % 3, np.tile([0, 1, 2], len(c) // 3))
+
 
 class TestScanTrajectory:
     def test_raster_is_bounded(self):
@@ -200,6 +229,59 @@ class TestRandom:
         assert x.dtype == np.complex64
         assert np.abs(x.real).max() <= 0.5
         assert np.abs(x.imag).max() <= 0.5
+
+    def test_jax_complex_range(self):
+        import jax
+
+        x = np.asarray(tike_tpu.random.jax_complex(jax.random.key(0), 50, 3))
+        assert x.shape == (50, 3)
+        assert x.dtype == np.complex64
+        assert np.abs(x.real).max() <= 0.5
+        assert np.abs(x.imag).max() <= 0.5
+        assert np.std(x.real) > 0.1  # not degenerate
+
+    def test_deprecated_cluster_aliases(self):
+        import warnings
+
+        pop = np.random.default_rng(0).random((20, 2))
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            a = tike_tpu.random.cluster_wobbly_center(pop, 2)
+            b = tike_tpu.random.cluster_compact(pop, 2)
+        np.testing.assert_array_equal(
+            np.sort(np.concatenate(a)), np.arange(20)
+        )
+        np.testing.assert_array_equal(
+            np.sort(np.concatenate(b)), np.arange(20)
+        )
+
+
+class TestSmallHelpers:
+    """Name-parity helpers (`opt.py:57-64,304-309`, `linalg.py:103-111`)."""
+
+    def test_get_put_batch(self):
+        x = np.arange(10.0)
+        b = [np.array([1, 3]), np.array([0, 2])]
+        np.testing.assert_array_equal(tike_tpu.opt.get_batch(x, b, 1), [0, 2])
+        y = tike_tpu.opt.put_batch(np.array([9.0, 9.0]), x, b, 0)
+        assert y[1] == 9.0 and y[3] == 9.0
+        xj = jnp.arange(10.0)
+        yj = tike_tpu.opt.put_batch(jnp.array([9.0, 9.0]), xj, b, 0)
+        assert float(yj[1]) == 9.0 and float(yj[3]) == 9.0
+
+    def test_update_dir_single(self):
+        assert tike_tpu.opt.update_single(1.0, 0.5, 4.0) == 3.0
+        assert tike_tpu.opt.dir_single("z") == "z"
+
+    def test_hermitian_cov(self):
+        rng = np.random.default_rng(5)
+        x = (rng.standard_normal((4, 3)) + 1j * rng.standard_normal((4, 3)))
+        np.testing.assert_allclose(
+            np.asarray(la.hermitian(jnp.asarray(x))), x.conj().T, rtol=1e-6
+        )
+        c = np.asarray(la.cov(jnp.asarray(x)))
+        x0 = x - x.mean(axis=0, keepdims=True)
+        np.testing.assert_allclose(c, x0.conj().T @ x0, rtol=1e-5)
 
 
 class TestResizeInterpolators:

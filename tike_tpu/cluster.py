@@ -76,6 +76,31 @@ def by_scan_stripes(
     ]
 
 
+def by_scan_grid(
+    scan,
+    shape: typing.Tuple[int, int],
+    fly: int = 1,
+) -> typing.List[np.ndarray]:
+    """Split the field of view into a 2D grid of contiguous regions.
+
+    Mirrors `cluster.py:44-105`: the grid masks are the pairwise AND of
+    vertical and horizontal :func:`by_scan_stripes`, in row-major order,
+    returned as integer index arrays into ``scan`` (the reference's
+    ``order``). Device placement of the split arrays is handled by
+    jax.sharding, so the pool/dtype/destination machinery is not needed;
+    callers split their own payloads with ``arg[idx]``.
+    """
+    if len(shape) != 2:
+        raise ValueError("The grid shape must have two dimensions.")
+    scan = np.asarray(scan)
+    vstripes = by_scan_stripes(scan, shape[0], axis=0, fly=fly)
+    hstripes = by_scan_stripes(scan, shape[1], axis=1, fly=fly)
+    order = np.arange(scan.shape[-2])
+    return [
+        order[np.logical_and(v, h)] for v in vstripes for h in hstripes
+    ]
+
+
 def wobbly_center(
     population: npt.ArrayLike,
     num_cluster: int,

@@ -21,6 +21,17 @@ def mnorm(x, axis=None, keepdims=False):
     return jnp.sqrt(jnp.mean((x * x.conj()).real, axis=axis, keepdims=keepdims))
 
 
+def hermitian(x):
+    """Conjugate transpose of x along the last two dims (`linalg.py:103-105`)."""
+    return x.conj().swapaxes(-1, -2)
+
+
+def cov(x):
+    """Covariance of x, observations along axis -2 (`linalg.py:108-111`)."""
+    x0 = x - jnp.mean(x, axis=-2, keepdims=True)
+    return hermitian(x0) @ x0
+
+
 def inner(x, y, axis=None, keepdims=False):
     """Return the complex inner product <x|y>; conjugate-linear in x.
 

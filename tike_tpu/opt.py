@@ -49,6 +49,33 @@ def batch_indicies(n, m=1, use_random=True, rng=None):
     return np.array_split(i, m)
 
 
+def get_batch(x, b, n):
+    """Return x[b[n]]; for use with map() (`opt.py:57-59`)."""
+    return x[b[n]]
+
+
+def put_batch(y, x, b, n):
+    """Return x with x[b[n]] set to y (`opt.py:62-64`).
+
+    The reference mutates the cupy array in place; jax arrays are
+    immutable, so the updated array is returned instead.
+    """
+    if isinstance(x, np.ndarray):
+        x[b[n]] = y
+        return x
+    return x.at[b[n]].set(y)
+
+
+def update_single(x, step_length, d):
+    """x + step_length * d (`opt.py:304-305`)."""
+    return x + step_length * d
+
+
+def dir_single(x):
+    """Identity direction wrapper (`opt.py:308-309`)."""
+    return x
+
+
 def momentum(g, v, m, vdecay=None, mdecay=0.9):
     """Classical momentum direction (`opt.py:67-83`)."""
     m = 0 if m is None else m
