@@ -130,12 +130,18 @@ def main():
     # Retry failed jobs in rounds until everything passed or time is up:
     # the relay alternates alive/wedged on minute-to-hour scales, so a
     # one-pass schedule loses whole jobs to a single wedge.
+    last_success_at = 0.0
     while pending and time.monotonic() < deadline:
         round_no += 1
         still_pending = []
         for name in pending:
             argv, timeout = JOBS[name]
-            if not wait_for_relay(min(max_wait, deadline - time.monotonic())):
+            # Skip the probe when a job just succeeded: the relay is
+            # demonstrably alive, and a fresh probe process costs ~110 s
+            # of the (short) alive window on cold-start alone.
+            if time.monotonic() - last_success_at > 120 and not wait_for_relay(
+                min(max_wait, deadline - time.monotonic())
+            ):
                 results[name] = "PENDING (relay down)"
                 still_pending.append(name)
                 continue
@@ -159,7 +165,9 @@ def main():
                 f"{'OK' if ok else 'will retry'}",
                 flush=True,
             )
-            if not ok:
+            if ok:
+                last_success_at = time.monotonic()
+            else:
                 still_pending.append(name)
         if still_pending == pending and round_no > 1:
             # Nothing progressed this round; back off before the next.
