@@ -8,7 +8,12 @@ current feature matrix so PALLAS_VERDICT.md stays honest. Run on the chip:
     python scripts/pallas_probe.py
 """
 
+import os
+import sys
+
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
