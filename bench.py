@@ -153,6 +153,66 @@ def _probe_relay():
     return False, f"probe rc={proc.returncode}: {proc.stderr[-400:]}"
 
 
+def _run_child_supervised(argv, timeout_s, stall_s=330.0):
+    """Run the bench child, killing it only on SILENCE, not on a hard cap.
+
+    A healthy-but-slow relay (cold remote compiler, degraded tunnel) can
+    legitimately take minutes between stage prints; killing such a child
+    mid-program is itself a reliable way to WEDGE the relay (observed
+    repeatedly — SIGKILL during an in-flight TPU call). So the child prints
+    stage timestamps to stderr and the parent only kills it when stderr has
+    been silent for ``stall_s`` (a true wedge) or the global deadline hits.
+
+    Returns (rc, stdout_text, last_err_text). rc None => killed.
+    """
+    import tempfile
+
+    out_f = tempfile.NamedTemporaryFile("w+", delete=False, suffix=".out")
+    err_f = tempfile.NamedTemporaryFile("w+", delete=False, suffix=".err")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--child"] + argv,
+        stdout=out_f,
+        stderr=err_f,
+        text=True,
+    )
+    deadline = time.monotonic() + timeout_s
+    last_size = -1
+    last_progress = time.monotonic()
+    why = ""
+    while True:
+        rc = proc.poll()
+        if rc is not None:
+            break
+        now = time.monotonic()
+        try:
+            size = os.path.getsize(err_f.name)
+        except OSError:
+            size = last_size
+        if size != last_size:
+            last_size = size
+            last_progress = now
+        if now > deadline:
+            why = f"global deadline after {timeout_s:.0f}s"
+        elif now - last_progress > stall_s:
+            why = f"no progress output for {stall_s:.0f}s (relay wedge)"
+        if why:
+            proc.kill()
+            proc.wait()
+            rc = None
+            break
+        time.sleep(2.0)
+    out_f.seek(0)
+    stdout = open(out_f.name).read()
+    stderr = open(err_f.name).read()
+    os.unlink(out_f.name)
+    os.unlink(err_f.name)
+    # Forward the child's stage log so the orchestrator's captured log shows
+    # where the time went.
+    if stderr:
+        print(stderr.rstrip(), file=sys.stderr, flush=True)
+    return rc, stdout, why or f"child rc={rc}: {stderr[-600:]}"
+
+
 def _run_with_budget(argv):
     deadline = time.monotonic() + _TOTAL_BUDGET_S
     n_patterns = int(argv[0]) if argv else 10_000
@@ -175,24 +235,20 @@ def _run_with_budget(argv):
             if time.monotonic() + 20 < deadline - _PROBE_TIMEOUT_S:
                 time.sleep(20)
             continue
-        remaining = deadline - time.monotonic()
-        child_timeout = max(60.0, min(480.0, remaining - 10.0))
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child"] + argv,
-                capture_output=True,
-                text=True,
-                timeout=child_timeout,
-            )
-        except subprocess.TimeoutExpired:
-            last_err = f"bench child timed out after {child_timeout:.0f}s"
+        # Give the attempt everything that remains: one un-killed slow
+        # attempt beats two killed fast ones (killing wedges the relay).
+        child_timeout = max(60.0, deadline - time.monotonic() - 5.0)
+        returncode, stdout, err = _run_child_supervised(argv, child_timeout)
+        if returncode is None or returncode != 0:
+            last_err = f"bench child failed: {err}"
             print(f"bench attempt {attempt}: {last_err}", file=sys.stderr, flush=True)
             continue
+        proc_stdout = stdout
         line = next(
-            (ln for ln in reversed(proc.stdout.splitlines()) if ln.startswith("{")),
+            (ln for ln in reversed(proc_stdout.splitlines()) if ln.startswith("{")),
             None,
         )
-        if proc.returncode == 0 and line is not None:
+        if line is not None:
             try:
                 rec = json.loads(line)
                 if rec.get("value", 0) > 0 and "error" not in rec:
@@ -206,7 +262,7 @@ def _run_with_budget(argv):
                 pass
             print(line, flush=True)
             return 0
-        last_err = f"child rc={proc.returncode}: {proc.stderr[-600:]}"
+        last_err = f"child exited 0 without a JSON record: {err}"
         print(f"bench attempt {attempt}: {last_err}", file=sys.stderr, flush=True)
     # Total failure: still emit a parseable record so the driver logs a value.
     record = {
@@ -229,11 +285,35 @@ def _run_with_budget(argv):
 
 
 def main():
+    t0 = time.monotonic()
+    # INFO logs to stderr: the chunked data upload logs one line per batch,
+    # which the supervising parent counts as liveness (vs a true wedge).
+    import logging
+
+    logging.basicConfig(
+        level=logging.INFO, stream=sys.stderr, format="%(asctime)s %(message)s"
+    )
+
+    def _stage(name):
+        # Stage timestamps on stderr: when an attempt times out, the parent's
+        # captured log shows which stage ate the budget (upload vs compile).
+        print(f"bench child +{time.monotonic() - t0:6.1f}s {name}", file=sys.stderr, flush=True)
+
     import jax
+
+    # Persistent compile cache: if the backend supports serialized
+    # executables, a retry after a mid-compile wedge pays nothing the
+    # second time. Harmless no-op where unsupported.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/tike_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
 
     import tike_tpu.ptycho as tp
     from tike_tpu.utils import pairs, transfer
 
+    _stage("imports done")
     n_patterns = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
     solver = sys.argv[2] if len(sys.argv) > 2 else "lsqml"
     num_batch = 10
@@ -243,6 +323,7 @@ def main():
     import jax.numpy as jnp
 
     np.asarray(jax.device_get(jnp.ones((8, 128)) @ jnp.ones((128, 8))))
+    _stage("backend up (tiny program ran)")
 
     scan, psi, probe = _make_inputs(n_patterns)
     data = None
@@ -258,6 +339,7 @@ def main():
             print(f"bench child: ignoring bad cache: {e}", file=sys.stderr)
     if data is None:
         data = _simulate_numpy(128, probe, scan, psi)
+    _stage("benchmark data ready on host")
 
     params = tp.PtychoParameters(
         probe=probe,
@@ -272,6 +354,7 @@ def main():
 
     context = tp.Reconstruction(data, params)
     context.__enter__()
+    _stage("context entered (data uploaded to device)")
     # Warm-up with the same epoch count so the timed call reuses the
     # compiled (possibly multi-epoch-fused) executable. block_until_ready
     # does NOT block on the relay; force a real host transfer instead.
@@ -286,6 +369,7 @@ def main():
 
     context.iterate(n_timed)
     _sync()
+    _stage("warm-up epochs done (compile paid)")
     start = time.perf_counter()
     context.iterate(n_timed)
     _sync()

@@ -120,6 +120,11 @@ def job_succeeded(name, rc, log):
 
 def main():
     os.makedirs(LOGDIR, exist_ok=True)
+    # Persistent compile cache for every job child: a retry after a wedge
+    # should not repay remote compiles (no-op where the backend can't
+    # serialize executables).
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tike_jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
     names = sys.argv[1:] or DEFAULT_ORDER
     max_wait = float(os.environ.get("ONCHIP_MAX_WAIT_S", 1800))
     total_s = float(os.environ.get("ONCHIP_TOTAL_S", 9 * 3600))

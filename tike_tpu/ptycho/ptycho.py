@@ -590,7 +590,27 @@ class Reconstruction:
             data[self.order][batch_idx].astype(floating)
         )
         if self.store_data_on_device:
-            dat = jnp.asarray(dat_np)
+            if self.mesh is None and dat_np.shape[0] > 1:
+                # Upload per batch with progress logs: on slow tunneled
+                # backends a monolithic multi-hundred-MB transfer is a long
+                # silent stall indistinguishable from a relay wedge; chunked
+                # uploads give supervisors (bench.py) real progress signals.
+                parts = []
+                for i in range(dat_np.shape[0]):
+                    part = jnp.asarray(dat_np[i])
+                    from tike_tpu.utils import transfer as _transfer
+
+                    _transfer.scalar(part[0, 0, 0])  # force the transfer
+                    parts.append(part)
+                    logger.info(
+                        "uploaded data batch %d/%d (%.0f MB)",
+                        i + 1,
+                        dat_np.shape[0],
+                        dat_np[i].nbytes / 1e6,
+                    )
+                dat = jnp.stack(parts)
+            else:
+                dat = jnp.asarray(dat_np)
             if self.mesh is not None:
                 dat = jax.device_put(dat, data_sharding)
             self.data = dat
