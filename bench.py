@@ -216,10 +216,14 @@ def _run_child_supervised(argv, timeout_s, stall_s=330.0):
 def _run_with_budget(argv):
     deadline = time.monotonic() + _TOTAL_BUDGET_S
     n_patterns = int(argv[0]) if argv else 10_000
-    try:
-        _prepare_data(n_patterns)
-    except Exception as e:  # never let data prep kill the record
-        print(f"bench: data prep failed, child will simulate: {e}", file=sys.stderr)
+    if os.environ.get("TIKE_BENCH_UPLOAD") == "1":
+        try:
+            _prepare_data(n_patterns)
+        except Exception as e:  # never let data prep kill the record
+            print(
+                f"bench: data prep failed, child will simulate: {e}",
+                file=sys.stderr,
+            )
 
     solver = argv[1] if len(argv) > 1 else "lsqml"
     last_err = "no attempt made"
@@ -326,20 +330,33 @@ def main():
     _stage("backend up (tiny program ran)")
 
     scan, psi, probe = _make_inputs(n_patterns)
-    data = None
-    if os.path.exists(_DATA_CACHE):
-        # The parent promises "child will simulate" if its data prep failed,
-        # so a corrupt/foreign cache file must not kill the attempt.
-        try:
-            with np.load(_DATA_CACHE) as f:
-                cached = f["data"]
-            if cached.shape[0] == n_patterns:
-                data = cached
-        except Exception as e:
-            print(f"bench child: ignoring bad cache: {e}", file=sys.stderr)
-    if data is None:
-        data = _simulate_numpy(128, probe, scan, psi)
-    _stage("benchmark data ready on host")
+    if os.environ.get("TIKE_BENCH_UPLOAD") == "1":
+        # Legacy path: host-simulated data + full upload (the upload is
+        # NOT in the timed region either way, but costs minutes of the
+        # envelope on a slow tunnel).
+        data = None
+        if os.path.exists(_DATA_CACHE):
+            # The parent promises "child will simulate" if its data prep
+            # failed, so a corrupt cache file must not kill the attempt.
+            try:
+                with np.load(_DATA_CACHE) as f:
+                    cached = f["data"]
+                if cached.shape[0] == n_patterns:
+                    data = cached
+            except Exception as e:
+                print(f"bench child: ignoring bad cache: {e}", file=sys.stderr)
+        if data is None:
+            data = _simulate_numpy(128, probe, scan, psi)
+        _stage("benchmark data ready on host")
+    else:
+        # Simulate the diffraction data ON DEVICE (same model, same seed
+        # inputs as _simulate_numpy) and hand the device-resident array to
+        # Reconstruction: the dataset never crosses the tunnel in either
+        # direction, so the whole child is compile + epochs. The timed
+        # region (iterate) is identical to the upload path.
+        data = tp.simulate_device(128, probe, scan, psi)
+        transfer.scalar(data[0, 0, 0])  # force completion before staging
+        _stage("benchmark data simulated on device")
 
     params = tp.PtychoParameters(
         probe=probe,

@@ -46,6 +46,7 @@ from .solvers._preconditioner import update_preconditioners
 __all__ = [
     "reconstruct",
     "simulate",
+    "simulate_device",
     "Reconstruction",
     "reconstruct_multigrid",
 ]
@@ -117,6 +118,85 @@ def simulate(
             else jnp.asarray(eigen_weights[..., m : m + 1], dtype=floating),
         )
         intensity = intensity + to_host(mode_intensity)
+    if fly > 1:
+        intensity = intensity.reshape(
+            scan.shape[-2] // fly, fly, detector_shape, detector_shape
+        ).sum(axis=1)
+    return intensity
+
+
+def simulate_device(
+    detector_shape: int,
+    probe,
+    scan,
+    psi,
+    fly: int = 1,
+    eigen_probe=None,
+    eigen_weights=None,
+    **kwargs,
+) -> jax.Array:
+    """:func:`simulate`, but the intensities STAY on device.
+
+    Returns a (N, detector, detector) float jax.Array suitable for passing
+    directly to :class:`Reconstruction` (device-resident data path). This
+    avoids a large device->host transfer that tunneled relay backends
+    cannot perform — and, symmetrically, the re-upload — so
+    simulate-then-reconstruct pipelines (benchmarks, synthetic studies)
+    never move the dataset over the wire.
+    """
+    probe = np.asarray(probe)
+    psi = np.asarray(psi)
+    scan = np.asarray(scan)
+    cfg = PtychoConfig(
+        probe_shape=probe.shape[-1],
+        detector_shape=detector_shape,
+        nz=psi.shape[-2],
+        n=psi.shape[-1],
+        nslices=psi.shape[0],
+        **{
+            k: v
+            for k, v in kwargs.items()
+            if k
+            in (
+                "probe_wavelength",
+                "probe_FOV_lengths",
+                "multislice_propagation_distance",
+            )
+        },
+    )
+    from tike_tpu.utils.pairs import upload
+
+    intensity = None
+    psi_d = upload(psi, dtype=cfloating)
+    scan_d = jnp.asarray(scan, dtype=floating)
+    for m in range(probe.shape[-3]):
+        mode_intensity = _simulate_mode_program(
+            cfg,
+            psi_d,
+            scan_d,
+            upload(
+                np.ascontiguousarray(probe[..., m : m + 1, :, :]),
+                dtype=cfloating,
+            ),
+            None
+            if eigen_probe is None
+            else upload(
+                np.ascontiguousarray(eigen_probe[..., m : m + 1, :, :]),
+                dtype=cfloating,
+            ),
+            None
+            if eigen_weights is None
+            else jnp.asarray(eigen_weights[..., m : m + 1], dtype=floating),
+        )
+        if hasattr(mode_intensity, "data") and not isinstance(
+            mode_intensity, jax.Array
+        ):
+            mode_intensity = mode_intensity.data  # real-valued Pair leaf
+        intensity = (
+            mode_intensity
+            if intensity is None
+            else intensity + mode_intensity
+        )
     if fly > 1:
         intensity = intensity.reshape(
             scan.shape[-2] // fly, fly, detector_shape, detector_shape
@@ -215,6 +295,27 @@ class Reconstruction:
                 parameters.algorithm_options.num_iter,
             )
         )
+        # Device-resident data (a jax.Array, e.g. produced by on-device
+        # ``simulate`` or an upstream jitted pipeline) is accepted for the
+        # replicated layout: it skips the host->device upload entirely and
+        # is re-indexed into batch-major order on device. Beyond the
+        # reference, which requires host numpy (`ptycho.py:182-254`).
+        self._device_data = isinstance(data, jax.Array) and not isinstance(
+            data, np.ndarray
+        )
+        if self._device_data:
+            if object_sharding == "striped" or self._is_multi_host():
+                raise NotImplementedError(
+                    "device-resident data requires the replicated "
+                    "single-process layout; pass host numpy data for "
+                    "striped/multi-host runs."
+                )
+            if store_data_on_device is False:
+                raise ValueError(
+                    "store_data_on_device=False (host streaming) requires "
+                    "host numpy data, but data is already device-resident."
+                )
+            self.store_data_on_device = store_data_on_device = True
         self.data_host = data
         self.parameters_host = copy.deepcopy(parameters)
         # store_data_on_device=False composes with every layout, like the
@@ -536,7 +637,16 @@ class Reconstruction:
 
     def __enter__(self):
         data = self.data_host
-        if not np.all(np.isfinite(data)) or np.any(data < 0):
+        if self._device_data:
+            from tike_tpu.utils import transfer
+
+            bad = transfer.scalar(
+                jnp.sum(~jnp.isfinite(data)) + jnp.sum(data < 0)
+            )
+            data_ok = bad == 0
+        else:
+            data_ok = np.all(np.isfinite(data)) and not np.any(data < 0)
+        if not data_ok:
             warnings.warn(
                 "Diffraction patterns contain invalid data. "
                 "All data should be non-negative and finite.",
@@ -586,10 +696,25 @@ class Reconstruction:
         # Store data batch-major (num_batch, L, DET, DET) so per-batch slices
         # never cross device-shard boundaries (the L axis is sharded).
         batch_idx, _ = self.batches
-        dat_np = np.ascontiguousarray(
-            data[self.order][batch_idx].astype(floating)
-        )
-        if self.store_data_on_device:
+        if self._device_data:
+            # Re-index on device: one HBM gather instead of a host round
+            # trip (device arrays cannot be cheaply viewed as numpy on
+            # relay backends, and the upload is the point being skipped).
+            perm = jnp.asarray(self.order, dtype=jnp.int32)[
+                jnp.asarray(batch_idx, dtype=jnp.int32).reshape(-1)
+            ]
+            dat = jnp.take(data.astype(floating), perm, axis=0).reshape(
+                batch_idx.shape + data.shape[-2:]
+            )
+            if self.mesh is not None:
+                dat = jax.device_put(dat, data_sharding)
+            self.data = dat
+            dat_np = None
+        else:
+            dat_np = np.ascontiguousarray(
+                data[self.order][batch_idx].astype(floating)
+            )
+        if dat_np is not None and self.store_data_on_device:
             if self.mesh is None and dat_np.shape[0] > 1:
                 # Upload per batch with progress logs: on slow tunneled
                 # backends a monolithic multi-hundred-MB transfer is a long
@@ -614,7 +739,7 @@ class Reconstruction:
             if self.mesh is not None:
                 dat = jax.device_put(dat, data_sharding)
             self.data = dat
-        else:
+        elif dat_np is not None:
             # Host-resident streaming mode: solvers double-buffer the
             # per-batch uploads (the reference's pinned-memory role).
             self.data = dat_np
@@ -1176,6 +1301,13 @@ class Reconstruction:
                 "append_new_data supports the single-process replicated "
                 "layout; striped/multi-host runs must restart with the "
                 "combined dataset"
+            )
+        if self._device_data:
+            raise NotImplementedError(
+                "append_new_data requires host numpy data (device-resident "
+                "data cannot be concatenated on host without a download the "
+                "relay backend may not support); restart with the combined "
+                "dataset instead."
             )
         new_data = np.asarray(new_data)
         new_scan = np.asarray(new_scan, dtype=floating)
