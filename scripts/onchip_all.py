@@ -33,10 +33,6 @@ JOBS = {
     "pallas_probe": ([sys.executable, "scripts/pallas_probe.py"], 900),
     "roofline": ([sys.executable, "profile/roofline_tpu.py", "1000", "16"], 1200),
     "opbench": ([sys.executable, "profile/opbench_tpu.py", "1000", "8"], 1200),
-    "patch_variants": (
-        [sys.executable, "profile/patch_variants_tpu.py", "1000", "8"],
-        1200,
-    ),
     "bench_all": (
         [
             sys.executable,
@@ -57,7 +53,6 @@ DEFAULT_ORDER = [
     "roofline",
     "pallas_probe",
     "opbench",
-    "patch_variants",
     "bench_all",
     "chip_smoke",
 ]

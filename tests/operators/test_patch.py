@@ -286,39 +286,3 @@ def test_position_update_clamps_to_valid_window():
     check_allowed_positions(
         np.asarray(new_scan), np.zeros((1, h, w)), (1, 1, 1, p, p)
     )
-
-
-def test_split_blend_variant_matches_default(monkeypatch):
-    """TIKE_PATCH_SPLIT_BLEND formulation: 0/1 selection matmuls + separate
-    elementwise bilinear blend must match the fused-blend path and stay an
-    exact transpose pair (both with and without the merged cell grid)."""
-    import tike_tpu.ops.patch as patch_module
-
-    images, positions, patches = _setup()
-    jim, jpos, jpat = map(jnp.asarray, (images, positions, patches))
-    fwd_ref = np.asarray(patch_fwd(jim, jpos, P))
-    adj_ref = np.asarray(patch_adj(jpat, jpos, (H, W)))
-
-    monkeypatch.setattr(patch_module, "_SPLIT_BLEND", True)
-    fwd_sb = np.asarray(patch_module.patch_fwd(jim, jpos, P))
-    adj_sb = np.asarray(patch_module.patch_adj(jpat, jpos, (H, W)))
-    np.testing.assert_allclose(fwd_sb, fwd_ref, rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(adj_sb, adj_ref, rtol=1e-5, atol=1e-5)
-    check_adjoint(fwd_sb, images, adj_sb, patches)
-
-    # Dense-scan case exercises the merged (sub=128) adjoint cell grid.
-    n_dense = 2 * ((-(-H // 128) + 1) * (-(-W // 128) + 1)) + 1
-    rng = np.random.default_rng(3)
-    pos_d = np.stack(
-        [rng.uniform(1, H - P - 2, n_dense), rng.uniform(1, W - P - 2, n_dense)],
-        axis=-1,
-    ).astype(np.float32)
-    pat_d = random_complex(rng, n_dense, P, P)
-    adj_sb_d = np.asarray(
-        patch_module.patch_adj(jnp.asarray(pat_d), jnp.asarray(pos_d), (H, W))
-    )
-    monkeypatch.setattr(patch_module, "_SPLIT_BLEND", False)
-    adj_ref_d = np.asarray(
-        patch_module.patch_adj(jnp.asarray(pat_d), jnp.asarray(pos_d), (H, W))
-    )
-    np.testing.assert_allclose(adj_sb_d, adj_ref_d, rtol=1e-5, atol=1e-5)

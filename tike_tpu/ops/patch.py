@@ -31,7 +31,7 @@ Semantics notes (match the reference):
 from __future__ import annotations
 
 import functools
-import os
+
 
 import jax
 import jax.numpy as jnp
@@ -121,86 +121,11 @@ def _padded_image_dims(
     return -(-h // sub) * sub + th, -(-w // lane) * lane + tw
 
 
-def _selection_mats_01(p1: int, corner, sub: int = _SUB, lane: int = _LANE):
-    """Pure 0/1 (no blend) selection matrices (N,th,p1), (N,tw,p1).
-
-    Unlike :func:`_selection_mats`, every entry is 0 or 1 — exactly
-    representable in bf16 — so the selection operand of the MXU einsum can
-    run at DEFAULT precision without any rounding of the selection itself.
-    ``p1`` is typically P+1 (the bilinear support window).
-    """
-    th, tw = _tile_dims(p1 - 1, sub, lane)
-    ry = corner[:, 0] % sub
-    rx = corner[:, 1] % lane
-    dy = jnp.arange(th, dtype=jnp.int32)[:, None] - jnp.arange(
-        p1, dtype=jnp.int32
-    )
-    dx = jnp.arange(tw, dtype=jnp.int32)[:, None] - jnp.arange(
-        p1, dtype=jnp.int32
-    )
-    R = (dy == ry[:, None, None]).astype(jnp.float32)
-    C = (dx == rx[:, None, None]).astype(jnp.float32)
-    return R, C
-
-
-def _blend_corners_f(win: jax.Array, frac: jax.Array) -> jax.Array:
-    """Bilinear blend of the four (P,P) corner sub-slices of (..., P+1, P+1).
-
-    The elementwise transpose-pair of :func:`_spread_windows_f`.
-    """
-    fy = frac[:, None, 0][:, :, None, None]
-    fx = frac[:, None, 1][:, :, None, None]
-    return (
-        (1 - fy) * (1 - fx) * win[..., :-1, :-1]
-        + (1 - fy) * fx * win[..., :-1, 1:]
-        + fy * (1 - fx) * win[..., 1:, :-1]
-        + fy * fx * win[..., 1:, 1:]
-    )
-
-
-# Split-blend formulation (round 4): keep the selection matmuls pure 0/1 and
-# apply the bilinear blend as a separate elementwise stage. The selection
-# operand is then exactly representable in bf16, so per-operand precision
-# (selection DEFAULT, data HIGHEST) preserves exact f32 extraction while
-# cutting MXU decomposition passes — the roofline attributed patch_fwd's
-# cost to those passes, not to bytes. Opt in with TIKE_PATCH_SPLIT_BLEND=1
-# pending on-chip measurement (profile/patch_variants_tpu.py).
-_SPLIT_BLEND = os.environ.get("TIKE_PATCH_SPLIT_BLEND", "0") == "1"
-
-
-def _sel_precision(data_precision):
-    """(selection, data) per-operand precision pair for the 0/1 einsums."""
-    return (jax.lax.Precision.DEFAULT, data_precision)
-
-
-def _patch_fwd_splitblend(images, positions, patch_width, precision):
-    p = patch_width
-    h, w = images.shape
-    corner, frac = _split_positions(positions)
-    imf = _c2f(images)
-    nch = imf.shape[0]
-    th, tw = _tile_dims(p)
-    hp, wp = _padded_image_dims(h, w, p)
-    padded = jnp.pad(imf, ((0, 0), (0, hp - h), (0, wp - w)))
-    cy, cx = _aligned_corners(corner)
-
-    def one_tile(y0, x0):
-        return jax.lax.dynamic_slice(padded, (0, y0, x0), (nch, th, tw))
-
-    tiles = jax.vmap(one_tile)(cy, cx)  # (N, C, th, tw)
-    R, C = _selection_mats_01(p + 1, corner)
-    # win = R^T @ tile @ C with 0/1 selections: selection operand DEFAULT
-    # (exact), data operand keeps the caller's precision.
-    t1 = jnp.einsum(
-        "nya,ncyx->ncax", R, tiles, precision=_sel_precision(precision)
-    )
-    win = jnp.einsum(
-        "ncax,nxb->ncab", t1, C, precision=(precision, jax.lax.Precision.DEFAULT)
-    )
-    out = _blend_corners_f(win, frac)
-    return _f2c(jnp.moveaxis(out, 1, 0), images.dtype)
-
-
+# Round-4 "split-blend" formulation (pure 0/1 selection matmuls at DEFAULT
+# per-operand precision + a separate elementwise bilinear stage) was measured
+# on-chip in round 5 (profile/onchip/patch_variants.log) and DELETED:
+# patch_fwd was flat (1.02x) and patch_adj 2.4x slower than the fused-blend
+# einsums below. The fused selection+blend matmul is the production path.
 def patch_fwd(
     images: jax.Array,
     positions: jax.Array,
@@ -219,8 +144,6 @@ def patch_fwd(
     -------
     patches : (N, P, P) complex
     """
-    if _SPLIT_BLEND:
-        return _patch_fwd_splitblend(images, positions, patch_width, precision)
     p = patch_width
     h, w = images.shape
     corner, frac = _split_positions(positions)
@@ -364,27 +287,14 @@ def patch_adj(
     # selection-matrix extraction, on the MXU. Default HIGHEST is the
     # parity surface; solver gradient internals pass HIGH (~8% faster,
     # ~2e-3 relative — below the noise of a gradient step).
-    if _SPLIT_BLEND:
-        win = _spread_windows_f(pf, frac)  # (N, C, P+1, P+1)
-        R, C = _selection_mats_01(p + 1, corner, sub)
-        t1 = jnp.einsum(
-            "nya,ncab->ncyb", R, win, precision=_sel_precision(precision)
-        )
-        tiles = jnp.einsum(
-            "ncyb,nxb->ncyx",
-            t1,
-            C,
-            precision=(precision, jax.lax.Precision.DEFAULT),
-        )  # (N, C, th, tw)
-    else:
-        R, C = _selection_mats(p, corner, frac, sub)
-        tiles = jnp.einsum(
-            "nya,ncab,nxb->ncyx",
-            R,
-            pf,
-            C,
-            precision=precision,
-        )  # (N, C, th, tw)
+    R, C = _selection_mats(p, corner, frac, sub)
+    tiles = jnp.einsum(
+        "nya,ncab,nxb->ncyx",
+        R,
+        pf,
+        C,
+        precision=precision,
+    )  # (N, C, th, tw)
 
     hp, wp = _padded_image_dims(h, w, p, sub)
     if merge:
