@@ -33,6 +33,11 @@ JOBS = {
     "pallas_probe": ([sys.executable, "scripts/pallas_probe.py"], 900),
     "roofline": ([sys.executable, "profile/roofline_tpu.py", "1000", "16"], 1200),
     "opbench": ([sys.executable, "profile/opbench_tpu.py", "1000", "8"], 1200),
+    "lamino_breakdown": (
+        [sys.executable, "profile/lamino_breakdown_tpu.py", "64", "8"],
+        1200,
+    ),
+    "hbm_ceiling": ([sys.executable, "profile/hbm_ceiling_tpu.py"], 1800),
     "bench_all": (
         [
             sys.executable,
