@@ -14,9 +14,11 @@ from tike_tpu.ops.usfft import (
     eq2us,
     gather,
     gather_kb,
+    gather_kb_rows,
     kb_parameters,
     scatter,
     scatter_kb,
+    scatter_kb_rows,
     us2eq,
     usfft_parameters,
 )
@@ -127,6 +129,93 @@ def test_kb_beats_gaussian_at_critical_sampling():
     _, _, m_kb, _ = kb_parameters(N_GRID, 1e-3, 1)
     _, _, _, m_ga = usfft_parameters(N_GRID, 1e-3, 1)
     assert (2 * m_kb) ** 3 < (2 * m_ga) ** 3, (m_kb, m_ga)
+
+
+def _setup_rows(seed=4, R=11, C=9):
+    """Row-structured points: x[..., 0] constant along the inner axis
+    (the laminography tilted-plane grid property)."""
+    rng = np.random.default_rng(seed)
+    x = (rng.random((R, C, 3)) - 0.5).astype(np.float32) * 0.98
+    x[..., 0] = x[:, :1, 0]  # constant along C
+    return x
+
+
+def test_kb_rows_matches_tap_scan():
+    """gather/scatter_kb_rows compute the same sums as the tap-scan path."""
+    rng = np.random.default_rng(5)
+    upsampled, pad, m, beta = kb_parameters(N_GRID, 1e-6, 2)
+    x = _setup_rows()
+    Fe = random_complex(rng, upsampled, upsampled, upsampled)
+    vals = random_complex(rng, *x.shape[:2])
+
+    g_rows = np.asarray(
+        gather_kb_rows(jnp.asarray(Fe), jnp.asarray(x), upsampled, m, beta)
+    )
+    g_scan = np.asarray(
+        gather_kb(
+            jnp.asarray(Fe), jnp.asarray(x.reshape(-1, 3)), upsampled, m,
+            beta,
+        )
+    ).reshape(x.shape[:2])
+    np.testing.assert_allclose(
+        g_rows, g_scan, rtol=1e-4, atol=1e-4 * np.abs(g_scan).max()
+    )
+
+    s_rows = np.asarray(
+        scatter_kb_rows(
+            jnp.asarray(vals), jnp.asarray(x), upsampled, m, beta
+        )
+    )
+    s_scan = np.asarray(
+        scatter_kb(
+            jnp.asarray(vals.reshape(-1)), jnp.asarray(x.reshape(-1, 3)),
+            upsampled, m, beta,
+        )
+    )
+    np.testing.assert_allclose(
+        s_rows, s_scan, rtol=1e-4, atol=1e-4 * np.abs(s_scan).max()
+    )
+
+
+def test_kb_rows_gather_scatter_adjoint():
+    rng = np.random.default_rng(6)
+    upsampled, pad, m, beta = kb_parameters(N_GRID, 1e-6, 2)
+    x = _setup_rows(R=13, C=7)
+    Fe = random_complex(rng, upsampled, upsampled, upsampled)
+    vals = random_complex(rng, *x.shape[:2])
+    g = gather_kb_rows(jnp.asarray(Fe), jnp.asarray(x), upsampled, m, beta)
+    s = scatter_kb_rows(jnp.asarray(vals), jnp.asarray(x), upsampled, m, beta)
+    check_adjoint(g, Fe, s, vals, rtol=1e-3)
+
+
+def test_eq2us_rows_layout_matches_flat():
+    """eq2us/us2eq dispatch (R, C, 3) inputs onto the rows path with
+    identical values to the flat-point path (both kernels)."""
+    f, _ = _setup()
+    x = _setup_rows(R=10, C=8)
+    rng = np.random.default_rng(7)
+    vals = random_complex(rng, 10, 8)
+    for kernel in ("kb", "gaussian"):
+        a = np.asarray(
+            eq2us(jnp.asarray(f), jnp.asarray(x), N_GRID, 1e-6, 2, kernel)
+        )
+        b = np.asarray(
+            eq2us(
+                jnp.asarray(f), jnp.asarray(x.reshape(-1, 3)), N_GRID, 1e-6,
+                2, kernel,
+            )
+        ).reshape(10, 8)
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4 * np.abs(b).max())
+        c = np.asarray(
+            us2eq(jnp.asarray(vals), jnp.asarray(x), N_GRID, 1e-6, 2, kernel)
+        )
+        d = np.asarray(
+            us2eq(
+                jnp.asarray(vals.reshape(-1)), jnp.asarray(x.reshape(-1, 3)),
+                N_GRID, 1e-6, 2, kernel,
+            )
+        )
+        np.testing.assert_allclose(c, d, rtol=1e-4, atol=1e-4 * np.abs(d).max())
 
 
 def test_gather_scatter_adjoint():

@@ -82,7 +82,48 @@ def reconstruct(
         from tike_tpu.parallel import make_mesh
 
         mesh = make_mesh(obj_split)
-    if mesh is not None:
+    if mesh is not None and len(mesh.axis_names) == 2:
+        # 2D (data x volume) mesh: theta/data sharded over axis 0, volume
+        # x-slabs over axis 1 — the reference's data-group x obj_split grid
+        # (`/root/reference/src/tike/lamino/solvers/bucket.py:34-54,111-114`).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tike_tpu.ops.bucket import (
+            make_grid_full,
+            sharded_bucket_ops_2d,
+        )
+        from tike_tpu.parallel import put_replicated_global
+
+        d_axis, v_axis = mesh.axis_names
+        if n % mesh.shape[v_axis] != 0:
+            raise ValueError(
+                f"the volume mesh axis ({mesh.shape[v_axis]}) must evenly "
+                f"divide the volume side ({n})"
+            )
+        if len(theta) % mesh.shape[d_axis] != 0:
+            raise ValueError(
+                f"the data mesh axis ({mesh.shape[d_axis]}) must evenly "
+                f"divide the number of angles ({len(theta)})"
+            )
+        vol_sharding = NamedSharding(mesh, P(v_axis))
+        data_sharding = NamedSharding(mesh, P(d_axis))
+        grid = put_replicated_global(make_grid_full(n), vol_sharding)
+        data_d = put_replicated_global(data_d, data_sharding)
+        theta_d = put_replicated_global(theta_d, data_sharding)
+        obj_d = put_replicated_global(obj_d, vol_sharding)
+        _, _, cost_sm, grad_sm, step_sm = sharded_bucket_ops_2d(
+            cfg, mesh, d_axis, v_axis
+        )
+        kwargs.setdefault(
+            "cost_op", lambda d_, u, t_: cost_sm(d_, u, t_, grid)
+        )
+        kwargs.setdefault(
+            "grad_op", lambda d_, u, t_: grad_sm(d_, u, t_, grid)
+        )
+        kwargs.setdefault(
+            "step_scale_op", lambda u, t_: step_sm(u, t_, grid)
+        )
+    elif mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from tike_tpu.ops.bucket import make_grid_full, sharded_bucket_ops

@@ -15,8 +15,6 @@ import tike_tpu.linalg
 import tike_tpu.opt
 from tike_tpu.ops.lamino import (
     LaminoConfig,
-    lamino_cost_p,
-    lamino_grad_p,
     lamino_step_scale,
 )
 from tike_tpu.utils.pairs import pair_jit
@@ -25,6 +23,28 @@ logger = logging.getLogger(__name__)
 
 # Module-level so the jit cache survives across outer CG iterations.
 _direction_dy_p = pair_jit(tike_tpu.opt.direction_dy)
+
+
+@pair_jit(static_argnames=("cfg", "cg_iter"))
+def _cgrad_outer_program(cfg, data, theta, obj, step_length, cg_iter):
+    """One WHOLE outer CG iteration as a single program.
+
+    Round-5 fusion: with the rows-structured USFFT the gradient dropped to
+    25 ms but the outer iteration stayed at 1.34 s because its ~15 host-side
+    program calls each paid the measured 25.5 ms relay dispatch floor plus a
+    scalar download. Tracing grads, Dai-Yuan directions, and the
+    backtracking line searches into one program leaves one dispatch + one
+    scalar download per OUTER iteration.
+    """
+    from tike_tpu.ops.lamino import lamino_cost, lamino_grad
+
+    return tike_tpu.opt.conjugate_gradient_traced(
+        obj,
+        cost_function=lambda u: lamino_cost(cfg, data, theta, u),
+        grad=lambda u: lamino_grad(cfg, data, theta, u),
+        num_iter=cg_iter,
+        step_length=step_length,
+    )
 
 
 def _estimate_step_length(obj, theta, cfg):
@@ -50,26 +70,28 @@ def cgrad(
     step_length=1,
     **kwargs,
 ):
-    """One outer iteration of CG for the laminography problem."""
+    """One outer iteration of CG for the laminography problem.
+
+    Runs as ONE device program (`_cgrad_outer_program`): only the final
+    cost scalar and the adapted step length are downloaded per call.
+    """
+    from tike_tpu.utils.transfer import scalar
+
     if step_length == 1:
         step_length = _estimate_step_length(obj, theta, cfg)
 
-    def cost_function(u):
-        from tike_tpu.utils.transfer import scalar
+    import jax.numpy as jnp
 
-        return scalar(lamino_cost_p(cfg, data, theta, u))
-
-    def grad(u):
-        return lamino_grad_p(cfg, data, theta, u)
-
-    obj, cost = tike_tpu.opt.conjugate_gradient(
-        None,
-        x=obj,
-        cost_function=cost_function,
-        grad=grad,
-        direction_dy=_direction_dy_p,
-        num_iter=cg_iter,
-        step_length=step_length,
+    obj, cost_d, step_d = _cgrad_outer_program(
+        cfg, data, theta, obj,
+        jnp.float32(step_length),
+        cg_iter,
     )
+    cost = scalar(cost_d)
+    # Carry the line-search-adapted step into the next outer iteration; a
+    # fully-failed search (step 0) resets to 1 so the next call
+    # re-estimates, matching the reference's fresh-estimate restart.
+    step_next = scalar(step_d, default=1.0)
+    step_length = step_next if step_next > 0 else 1.0
     logger.info("%10s cost is %+12.5e", "object", cost)
     return {"obj": obj, "cost": cost, "step_length": step_length}

@@ -218,6 +218,97 @@ def sharded_bucket_ops(cfg: BucketConfig, mesh, axis: str):
     return fwd, adj, cost_op, grad_op, step_scale_op
 
 
+def sharded_bucket_ops_2d(
+    cfg: BucketConfig, mesh, data_axis: str, vol_axis: str
+):
+    """(data x volume) 2D model parallelism for the Bucket operator.
+
+    The reference runs ``num_gpu / obj_split`` DATA groups, each holding a
+    theta-slice of the projections, times ``obj_split`` VOLUME chunks per
+    group: partial projections are Allreduced within each data group
+    (`/root/reference/src/tike/lamino/solvers/bucket.py:111-114` —
+    ``comm.Allreduce(fwd_data, obj_split)``) and gradients are reduced with
+    stride ``obj_split`` across data groups (`bucket.py:145-149` —
+    ``reduce_gpu(grad_list, stride=obj_split)``). On a 2D mesh both
+    hand-written reductions are one ``psum`` each:
+
+    - ``psum(partial projections, vol_axis)`` — within a data group;
+    - ``psum(owner-local gradients, data_axis)`` — across data groups.
+
+    Arrays: theta/data sharded on ``data_axis`` (their axis 0), volume/grid
+    sharded on ``vol_axis`` (x-slabs, axis 0). Returns
+    ``(fwd, adj, cost_op, grad_op, step_scale_op)`` mirroring
+    :func:`sharded_bucket_ops`; scalar outputs are replicated.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    ntheta_factor = mesh.shape[data_axis]
+
+    def _fwd_local(u, theta, grid4):
+        part = bucket_fwd(cfg, u.reshape(-1), theta, grid4.reshape(-1, 3))
+        return jax.lax.psum(part, vol_axis)  # full projections, local thetas
+
+    def _adj_local(diff, theta, grid4):
+        g = bucket_adj(cfg, diff, theta, grid4.reshape(-1, 3))
+        # Sum the per-data-group partial gradients of MY voxels.
+        return jax.lax.psum(g, data_axis).reshape(grid4.shape[:3])
+
+    def _grad_local(data, u, theta, grid4):
+        fd = _fwd_local(u, theta, grid4)
+        g = _adj_local(fd - data, theta, grid4)
+        ntheta_global = data.shape[-3] * ntheta_factor
+        return g / (ntheta_global * cfg.n**3)
+
+    def _cost_local(data, u, theta, grid4):
+        diff = _fwd_local(u, theta, grid4) - data
+        return jax.lax.psum(
+            jnp.sum((diff * jnp.conj(diff)).real), data_axis
+        )
+
+    def _sumsq_vol(x):
+        """Global |x|^2 of a vol_axis-sharded array (replicated over data)."""
+        return jax.lax.psum(jnp.sum((x * jnp.conj(x)).real), vol_axis)
+
+    def _step_scale_local(u, theta, grid4):
+        fd = _fwd_local(u, theta, grid4)
+        back = _adj_local(fd, theta, grid4)
+        un = jnp.sqrt(_sumsq_vol(u))
+        return 2 * jnp.sqrt(_sumsq_vol(back)) / (un + 1e-32)
+
+    data_spec = P(data_axis)
+    vol_spec = P(vol_axis)
+
+    def _sm(fn, in_specs, out_specs):
+        # check_vma=False for the same reason as sharded_bucket_ops: the
+        # scatter scan's unvarying zero carry trips the varying-axis check.
+        return jax.shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+
+    fwd_sm = _sm(_fwd_local, (vol_spec, data_spec, vol_spec), data_spec)
+    adj_sm = _sm(_adj_local, (data_spec, data_spec, vol_spec), vol_spec)
+    cost_sm = _sm(
+        _cost_local, (data_spec, vol_spec, data_spec, vol_spec), P()
+    )
+    grad_sm = _sm(
+        _grad_local, (data_spec, vol_spec, data_spec, vol_spec), vol_spec
+    )
+    step_sm = _sm(
+        _step_scale_local, (vol_spec, data_spec, vol_spec), P()
+    )
+
+    from tike_tpu.utils.pairs import pair_jit as _pair_jit
+
+    return (
+        _pair_jit(fwd_sm),
+        _pair_jit(adj_sm),
+        _pair_jit(cost_sm),
+        _pair_jit(grad_sm),
+        _pair_jit(step_sm),
+    )
+
+
 def bucket_cost(data, fwd_data):
     """Least-squares cost (`bucket.py:252-254`)."""
     diff = fwd_data - data

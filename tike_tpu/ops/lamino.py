@@ -72,11 +72,16 @@ def lamino_fwd(cfg: LaminoConfig, u, theta):
     """Forward laminography: volume (n,n,n) -> projections (ntheta, n, n).
 
     Mirrors `lamino.py:73-107`: eq2us onto the tilted planes, then inverse
-    2D FFT of each plane.
+    2D FFT of each plane. The grids are passed row-structured — each
+    (theta, detector-row) line shares its axis-0 frequency (f0 = kv sin
+    tilt) — which routes the USFFT onto the scatter-free MXU einsum path
+    (measured 90% of the gradient was the per-tap scatter otherwise;
+    profile/onchip/lamino_breakdown.log).
     """
-    xi = make_grids(theta, cfg.n, cfg.tilt)
-    F = eq2us(u, xi, cfg.n, cfg.eps, cfg.upsample, cfg.kernel).reshape(
-        theta.shape[0], cfg.n, cfg.n
+    n = cfg.n
+    xi = make_grids(theta, n, cfg.tilt).reshape(theta.shape[0] * n, n, 3)
+    F = eq2us(u, xi, n, cfg.eps, cfg.upsample, cfg.kernel).reshape(
+        theta.shape[0], n, n
     )
     return _centered_ifft2(F)
 
@@ -84,9 +89,10 @@ def lamino_fwd(cfg: LaminoConfig, u, theta):
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def lamino_adj(cfg: LaminoConfig, data, theta):
     """Adjoint laminography: projections -> volume (`lamino.py:109-144`)."""
-    xi = make_grids(theta, cfg.n, cfg.tilt)
-    F = _centered_fft2(data).reshape(-1)
-    u = us2eq(F, -xi, cfg.n, cfg.eps, cfg.upsample, cfg.kernel)
+    n = cfg.n
+    xi = make_grids(theta, n, cfg.tilt).reshape(theta.shape[0] * n, n, 3)
+    F = _centered_fft2(data).reshape(theta.shape[0] * n, n)
+    u = us2eq(F, -xi, n, cfg.eps, cfg.upsample, cfg.kernel)
     return u / cfg.n**2
 
 

@@ -194,7 +194,7 @@ def _kb_axis_weights(x_axis, ell_axis, m: int, beta: float, n: int):
     support paired around floor(n x)).
     """
     offs = jnp.arange(1 - m, m + 1, dtype=x_axis.dtype)  # (2m,)
-    d = n * x_axis[:, None] - (ell_axis[:, None] + offs[None, :])
+    d = n * x_axis[..., None] - (ell_axis[..., None] + offs)
     s = jnp.sqrt(jnp.maximum(1.0 - (d / m) ** 2, 0.0))
     # i0(beta*s)/i0(beta) without overflow: i0e ratios times exp(beta(s-1)).
     return (
@@ -269,6 +269,132 @@ def scatter_kb(f, x, n: int, m: int, beta: float):
     G0 = jnp.zeros((n * n * n, 2), dtype=f.real.dtype)
     G, _ = jax.lax.scan(body, G0, taps)
     return jax.lax.complex(G[:, 0], G[:, 1]).astype(f.dtype).reshape(n, n, n)
+
+
+# ---------------------------------------------------------------------------
+# Row-structured KB transform (round 5).
+#
+# The tap-scan scatter above is one full-grid scatter-add per kernel tap;
+# measured on-chip it is 90% of the laminography gradient (341 ms of 379 ms,
+# profile/onchip/lamino_breakdown.log) because colliding scatter updates
+# serialize on TPU. Laminography's frequencies are not arbitrary points: each
+# (theta, detector-row) is a LINE of points whose axis-0 coordinate is
+# constant along the line (`lamino.make_grids`: f0 = kv*sin(tilt) is
+# independent of theta and ku). For such (R, C, 3) row-structured point sets
+# the whole spread/interpolation becomes a chain of banded-dense einsums on
+# the MXU — no gather, no scatter:
+#
+#   scatter:  S[k0,k1,k2] = sum_r w0[r,k0] * sum_c w1[r,c,k1] w2[r,c,k2] f[r,c]
+#   gather :  F[r,c] = sum_k2 w2[r,c,k2] sum_k1 w1[r,c,k1] sum_k0 w0[r,k0] G
+#
+# where w* are the KB tap weights spread to dense (.., n) rows (2m nonzeros,
+# periodic wrap folded into the column index). gather/scatter stay exact
+# transposes of each other by construction, and compute the same sums as the
+# tap-scan path (same taps, same weights) up to float reassociation. Rows are
+# processed in chunks under lax.scan to bound the dense intermediates.
+# Replaces the reference CUDA kernels `usfft.cu:103-140` on this path.
+# ---------------------------------------------------------------------------
+
+
+def _kb_dense_axis(x_axis, n: int, m: int, beta: float):
+    """Dense (..., n) spread of one axis's KB tap weights (periodic wrap).
+
+    ``dense[..., k] = phi(k - n*x)`` for the 2m taps around floor(n x),
+    zero elsewhere; wrapped into the centered grid layout used by
+    :func:`gather_kb` (column ``(n//2 + ell + tap) % n``).
+    """
+    ell = jnp.floor(n * x_axis).astype(jnp.int32)
+    W = _kb_axis_weights(x_axis, ell.astype(x_axis.dtype), m, beta, n)
+    cols = (n // 2 + ell[..., None]
+            + jnp.arange(1 - m, m + 1, dtype=jnp.int32)) % n  # (..., 2m)
+    k = jnp.arange(n, dtype=jnp.int32)
+    dense = jnp.zeros((*x_axis.shape, n), dtype=x_axis.dtype)
+    for j in range(2 * m):  # static, small (2m <= 8)
+        dense = dense + W[..., j : j + 1] * (
+            k == cols[..., j : j + 1]
+        ).astype(x_axis.dtype)
+    return dense
+
+
+def _row_chunks(R: int, C: int, n: int):
+    """Chunk rows so each dense (Rc, C, n) intermediate stays ~32 MB."""
+    target = max(8, (1 << 23) // max(C * n, 1))
+    Rc = min(R, target)
+    nchunks = -(-R // Rc)
+    return Rc, nchunks
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "m", "beta", "precision")
+)
+def gather_kb_rows(
+    Fe, x, n: int, m: int, beta: float,
+    precision=jax.lax.Precision.HIGHEST,
+):
+    """KB interpolation of Fe (n,n,n) at row-structured frequencies.
+
+    ``x`` is (R, C, 3) with ``x[..., 0]`` constant along axis 1 (each row of
+    points shares its axis-0 coordinate — laminography's tilted-plane grids
+    have this shape per (theta, detector-row) line). Returns (R, C) complex.
+    Same math as :func:`gather_kb`; MXU einsums instead of a tap scan.
+    """
+    R, C, _ = x.shape
+    G2 = jnp.stack([Fe.real, Fe.imag])  # (2, n, n, n)
+    Rc, nchunks = _row_chunks(R, C, n)
+    pad = nchunks * Rc - R
+    xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+    xs = xp.reshape(nchunks, Rc, C, 3)
+
+    def body(_, xc):
+        w0 = _kb_dense_axis(xc[:, 0, 0], n, m, beta)  # (Rc, n)
+        w1 = _kb_dense_axis(xc[..., 1], n, m, beta)  # (Rc, C, n)
+        w2 = _kb_dense_axis(xc[..., 2], n, m, beta)  # (Rc, C, n)
+        U = jnp.einsum("ry,jyab->jrab", w0, G2, precision=precision)
+        V = jnp.einsum("rca,jrab->jrcb", w1, U, precision=precision)
+        return None, jnp.sum(w2[None] * V, axis=-1)  # (2, Rc, C)
+
+    _, out = jax.lax.scan(body, None, xs)
+    out = jnp.moveaxis(out, 1, 0).reshape(2, nchunks * Rc, C)[:, :R]
+    return jax.lax.complex(out[0], out[1]).astype(Fe.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "m", "beta", "precision")
+)
+def scatter_kb_rows(
+    f, x, n: int, m: int, beta: float,
+    precision=jax.lax.Precision.HIGHEST,
+):
+    """Adjoint of :func:`gather_kb_rows`: spread f (R, C) onto (n,n,n).
+
+    Exact transpose of the gather by construction (same dense w0/w1/w2
+    operands, transposed einsum chain); no scatter-add anywhere.
+    """
+    R, C = f.shape
+    f2 = jnp.stack([f.real, f.imag])  # (2, R, C)
+    Rc, nchunks = _row_chunks(R, C, n)
+    pad = nchunks * Rc - R
+    f2p = jnp.pad(f2, ((0, 0), (0, pad), (0, 0)))
+    xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+    fs = jnp.moveaxis(
+        f2p.reshape(2, nchunks, Rc, C), 1, 0
+    )  # (nchunks, 2, Rc, C)
+    xs = xp.reshape(nchunks, Rc, C, 3)
+
+    def body(S, inp):
+        fc, xc = inp
+        w0 = _kb_dense_axis(xc[:, 0, 0], n, m, beta)  # (Rc, n)
+        w1 = _kb_dense_axis(xc[..., 1], n, m, beta)  # (Rc, C, n)
+        w2 = _kb_dense_axis(xc[..., 2], n, m, beta)  # (Rc, C, n)
+        T1 = fc[..., None] * w2[None]  # (2, Rc, C, n)
+        T2 = jnp.einsum("rca,jrcb->jrab", w1, T1, precision=precision)
+        return S + jnp.einsum(
+            "ry,jrab->jyab", w0, T2, precision=precision
+        ), None
+
+    S0 = jnp.zeros((2, n, n, n), dtype=f.real.dtype)
+    S, _ = jax.lax.scan(body, S0, (fs, xs))
+    return jax.lax.complex(S[0], S[1]).astype(f.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "m", "mu"))
@@ -349,6 +475,11 @@ def eq2us(f, x, n: int, eps: float, upsample: float = 1, kernel: str = "kb"):
     f (n,n,n) complex; x (N,3) in [-0.5, 0.5). Mirrors `usfft.py:119-163`.
     ``kernel`` selects the spreading window: "kb" (Kaiser-Bessel, default:
     ~8x fewer taps at equal eps) or "gaussian" (the reference's window).
+
+    ``x`` may instead be (R, C, 3) with ``x[..., 0]`` constant along axis 1
+    (row-structured points, e.g. laminography's tilted-plane grids): the KB
+    path then uses the scatter-free MXU einsum formulation
+    (:func:`gather_kb_rows`) and returns (R, C).
     """
     end_dtype = f.real.dtype
     if kernel == "kb":
@@ -365,7 +496,13 @@ def eq2us(f, x, n: int, eps: float, upsample: float = 1, kernel: str = "kb"):
     # gather indexes with `half + ell`, i.e. it expects the centered layout.
     Fe = jnp.fft.fftshift(jnp.fft.fftn(jnp.fft.ifftshift(fe)))
     if kernel == "kb":
+        if x.ndim == 3:
+            return gather_kb_rows(Fe, x, upsampled, m, beta)
         return gather_kb(Fe, x, upsampled, m, beta)
+    if x.ndim == 3:
+        return gather(Fe, x.reshape(-1, 3), upsampled, m, mu).reshape(
+            x.shape[:2]
+        )
     return gather(Fe, x, upsampled, m, mu)
 
 
@@ -376,16 +513,24 @@ def us2eq(f, x, n: int, eps: float, upsample: float = 1, kernel: str = "kb"):
     """USFFT from an unequally-spaced grid to an equally-spaced grid.
 
     f (N,) complex at frequencies x (N,3). Mirrors `usfft.py:236-280`.
-    ``kernel`` as in :func:`eq2us`.
+    ``kernel`` as in :func:`eq2us`. Row-structured input — f (R, C) with
+    x (R, C, 3), ``x[..., 0]`` constant along axis 1 — takes the
+    scatter-free MXU path (:func:`scatter_kb_rows`) on the KB kernel.
     """
     end_dtype = f.real.dtype
     if kernel == "kb":
         upsampled, pad, m, beta = kb_parameters(n, eps, upsample)
         deapod = _kb_get_kernel(n, upsampled, m, beta, end_dtype)
-        G = scatter_kb(f, x, upsampled, m, beta)
+        if x.ndim == 3:
+            G = scatter_kb_rows(f, x, upsampled, m, beta)
+        else:
+            G = scatter_kb(f, x, upsampled, m, beta)
     else:
         upsampled, pad, mu, m = usfft_parameters(n, eps, upsample)
         deapod = _get_kernel(n, mu, dtype=end_dtype) * upsampled**3
+        if x.ndim == 3:
+            f = f.reshape(-1)
+            x = x.reshape(-1, 3)
         G = scatter(f, x, upsampled, m, mu)
     end = pad + n
     F = jnp.fft.fftshift(jnp.fft.fftn(jnp.fft.ifftshift(G)))

@@ -249,6 +249,89 @@ def line_search(
     return step_length, fxsd, xsd
 
 
+def line_search_traced(
+    f, x, d, step_length, cost, linesearch_iterations=4, update_multi=None
+):
+    """Backtracking line search as traceable on-device control flow.
+
+    Same semantics as :func:`line_search` (try the step; on failure halve
+    and retry up to ``linesearch_iterations`` times; total failure keeps x
+    and zero step; first-try success grows the step for next time) but
+    expressed with ``lax.while_loop`` so a whole CG iteration compiles into
+    ONE program — measured on the relay, every host-side f() call costs a
+    ~25 ms program dispatch (BENCH_TABLE.md round-5 k-sweep), which
+    dominated the laminography outer iteration.
+
+    Returns (next_step_length, cost_at_new_x, new_x).
+    """
+    import jax
+
+    update_multi = (
+        (lambda x, gamma, d: x + gamma * d)
+        if update_multi is None
+        else update_multi
+    )
+    shrink = jnp.asarray(0.5, dtype=jnp.float32)
+    step0 = jnp.asarray(step_length, dtype=jnp.float32)
+
+    def cond(carry):
+        i, _, _, ok = carry
+        return jnp.logical_and(i < linesearch_iterations, ~ok)
+
+    def body(carry):
+        i, step, fxsd, _ = carry
+        fx = f(update_multi(x, step, d)).astype(jnp.float32)
+        ok = fx <= cost
+        return (
+            i + 1,
+            jnp.where(ok, step, step * shrink),
+            jnp.where(ok, fx, fxsd),
+            ok,
+        )
+
+    _, step, fxsd, ok = jax.lax.while_loop(
+        cond,
+        body,
+        (jnp.int32(0), step0, jnp.asarray(cost, jnp.float32), False),
+    )
+    step = jnp.where(ok, step, 0.0)
+    fxsd = jnp.where(ok, fxsd, cost)
+    new_x = update_multi(x, step.astype(x.real.dtype), d)
+    next_step = jnp.where(step == step0, step0 / shrink, step)
+    return next_step, fxsd, new_x
+
+
+def conjugate_gradient_traced(
+    x,
+    cost_function,
+    grad,
+    num_iter=1,
+    step_length=1,
+    linesearch_iterations=4,
+):
+    """Whole Dai-Yuan CG loop as traceable code (call under jit/pair_jit).
+
+    Device-fused equivalent of :func:`conjugate_gradient` with
+    ``num_search = num_iter`` (always line-search, the solvers' default):
+    the num_iter inner iterations unroll into one XLA program, so an outer
+    solver iteration costs one dispatch + one scalar download instead of
+    ~15 of each. Returns (x, cost, next_step_length).
+    """
+    grad1 = grad(x)
+    dir_ = -grad1
+    step = jnp.asarray(step_length, jnp.float32)
+    cost = cost_function(x).astype(jnp.float32)
+    for i in range(num_iter):
+        if i > 0:
+            grad0 = grad1
+            grad1 = grad(x)
+            dir_ = direction_dy(grad0, grad1, dir_)
+        step, cost, x = line_search_traced(
+            cost_function, x, dir_, step, cost, linesearch_iterations
+        )
+    return x, cost, step
+
+
 def direction_dy(grad0, grad1, dir_, xp=jnp):
     """Dai-Yuan conjugate gradient direction (`opt.py:281-310`)."""
     numer = la.inner(grad1, grad1)

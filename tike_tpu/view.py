@@ -123,15 +123,61 @@ def plot_position_error(true, *args, indices=None):
     plt.legend()
 
 
+def _confidence_ellipse(x, y, ax, n_std=3.0, **kwargs):
+    """Draw the n-sigma covariance confidence ellipse of (x, y) onto ax.
+
+    Equivalent of the reference's `_confidence_ellipse`
+    (`/root/reference/src/tike/view.py:219-277`), derived directly from the
+    eigendecomposition of the 2x2 covariance instead of the Pearson/45°
+    construction: the ellipse's semi-axes are n_std * sqrt(eigenvalue) along
+    the eigenvectors. Returns the patch, or None for a degenerate cloud.
+    """
+    from matplotlib.patches import Ellipse
+
+    x = np.asarray(x).ravel()
+    y = np.asarray(y).ravel()
+    if x.size != y.size:
+        raise ValueError("x and y must be the same size")
+    if x.size < 2:
+        return None
+    cov = np.cov(x, y)
+    if np.all(np.abs(cov) < 1e-6):
+        return None
+    evals, evecs = np.linalg.eigh(cov)
+    evals = np.maximum(evals, 0.0)
+    # eigh returns ascending order; major axis last.
+    angle = np.degrees(np.arctan2(evecs[1, 1], evecs[0, 1]))
+    kwargs.setdefault("facecolor", "none")
+    ellipse = Ellipse(
+        (np.mean(x), np.mean(y)),
+        width=2 * n_std * np.sqrt(evals[1]),
+        height=2 * n_std * np.sqrt(evals[0]),
+        angle=angle,
+        **kwargs,
+    )
+    return ax.add_patch(ellipse)
+
+
 def plot_positions(true, *args):
-    """Scatter true vs estimated scan positions."""
+    """Scatter true vs estimated scan positions.
+
+    Each estimate's cloud gets a 3-sigma covariance confidence ellipse
+    overlay, matching the reference's position plots
+    (`/root/reference/src/tike/view.py:219-277,342-360`).
+    """
     import matplotlib.pyplot as plt
 
     true = np.asarray(true)
     plt.scatter(true[:, 1], true[:, 0], s=4, label="true", marker="o")
     for k, estimate in enumerate(args):
         e = np.asarray(estimate)
-        plt.scatter(e[:, 1], e[:, 0], s=4, label=f"estimate {k}", marker="x")
+        sc = plt.scatter(
+            e[:, 1], e[:, 0], s=4, label=f"estimate {k}", marker="x"
+        )
+        _confidence_ellipse(
+            e[:, 1], e[:, 0], plt.gca(),
+            edgecolor=sc.get_facecolor()[0], linestyle="--",
+        )
     plt.gca().invert_yaxis()
     plt.axis("equal")
     plt.legend()
