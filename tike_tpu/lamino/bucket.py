@@ -111,15 +111,14 @@ def reconstruct(
         data_d = put_replicated_global(data_d, data_sharding)
         theta_d = put_replicated_global(theta_d, data_sharding)
         obj_d = put_replicated_global(obj_d, vol_sharding)
-        _, _, cost_sm, grad_sm, step_sm = sharded_bucket_ops_2d(
+        _, _, cost_raw, grad_raw, _ = sharded_bucket_ops_2d(
+            cfg, mesh, d_axis, v_axis, raw=True
+        )
+        _, _, _, _, step_sm = sharded_bucket_ops_2d(
             cfg, mesh, d_axis, v_axis
         )
-        kwargs.setdefault(
-            "cost_op", lambda d_, u, t_: cost_sm(d_, u, t_, grid)
-        )
-        kwargs.setdefault(
-            "grad_op", lambda d_, u, t_: grad_sm(d_, u, t_, grid)
-        )
+        kwargs.setdefault("raw_cost", cost_raw)
+        kwargs.setdefault("raw_grad", grad_raw)
         kwargs.setdefault(
             "step_scale_op", lambda u, t_: step_sm(u, t_, grid)
         )
@@ -147,19 +146,12 @@ def reconstruct(
         data_d = put_replicated_global(data_d, rep)
         theta_d = put_replicated_global(theta_d, rep)
         obj_d = put_replicated_global(obj_d, vol_sharding)
-        (
-            fwd_op_sharded,
-            adj_op_sharded,
-            cost_sm,
-            grad_sm,
-            step_sm,
-        ) = sharded_bucket_ops(cfg, mesh, axis)
-        kwargs.setdefault(
-            "cost_op", lambda d_, u, t_: cost_sm(d_, u, t_, grid)
+        _, _, cost_raw, grad_raw, _ = sharded_bucket_ops(
+            cfg, mesh, axis, raw=True
         )
-        kwargs.setdefault(
-            "grad_op", lambda d_, u, t_: grad_sm(d_, u, t_, grid)
-        )
+        _, _, _, _, step_sm = sharded_bucket_ops(cfg, mesh, axis)
+        kwargs.setdefault("raw_cost", cost_raw)
+        kwargs.setdefault("raw_grad", grad_raw)
         kwargs.setdefault(
             "step_scale_op", lambda u, t_: step_sm(u, t_, grid)
         )

@@ -12,6 +12,7 @@ program boundary; only real scalars are downloaded between CG steps.
 
 from __future__ import annotations
 
+import functools
 import logging
 
 import numpy as np
@@ -19,8 +20,9 @@ import numpy as np
 import tike_tpu.opt
 from tike_tpu.ops.bucket import (
     BucketConfig,
-    bucket_cost_program,
-    bucket_grad_program,
+    bucket_adj,
+    bucket_cost,
+    bucket_fwd,
     bucket_step_scale,
 )
 from tike_tpu.utils.pairs import pair_jit
@@ -31,6 +33,55 @@ logger = logging.getLogger(__name__)
 _direction_dy_p = pair_jit(tike_tpu.opt.direction_dy)
 
 
+@functools.lru_cache(maxsize=8)
+def _single_device_raw(cfg: BucketConfig):
+    """Traceable (cost, grad) pair for the unsharded operator.
+
+    Memoized per cfg so `_fused_outer`'s identity-keyed cache hits across
+    outer iterations (fresh closures would re-trace every call)."""
+
+    def cost_raw(data, u, theta, grid):
+        return bucket_cost(data, bucket_fwd(cfg, u, theta, grid))
+
+    def grad_raw(data, u, theta, grid):
+        fd = bucket_fwd(cfg, u, theta, grid)
+        g = bucket_adj(cfg, fd - data, theta, grid)
+        return g / (data.shape[-3] * cfg.n**3)
+
+    return cost_raw, grad_raw
+
+
+@functools.lru_cache(maxsize=8)
+def _fused_outer(raw_cost, raw_grad, cg_iter):
+    """One whole outer CG iteration as a single pair-safe program.
+
+    Same dispatch-floor reasoning as the USFFT solver
+    (`lamino/solvers/cgrad._cgrad_outer_program`): every host-side
+    cost/grad call pays the measured ~25 ms relay dispatch, so the inner
+    loop (grads, Dai-Yuan directions, backtracking line searches) traces
+    into one program. Cached on the raw-op identities: the driver builds
+    its (possibly shard_map'ed) raw ops once per reconstruct() call.
+    """
+
+    @pair_jit
+    def prog(data, theta, obj, grid, step):
+        return tike_tpu.opt.conjugate_gradient_traced(
+            obj,
+            cost_function=lambda u: raw_cost(data, u, theta, grid),
+            grad=lambda u: _reshape_like_traced(
+                raw_grad(data, u, theta, grid), u
+            ),
+            num_iter=cg_iter,
+            step_length=step,
+        )
+
+    return prog
+
+
+def _reshape_like_traced(g, u):
+    return g.reshape(u.shape) if g.shape != u.shape else g
+
+
 def bucket(
     cfg: BucketConfig,
     data,
@@ -39,29 +90,24 @@ def bucket(
     grid,
     cg_iter=4,
     step_length=1,
-    cost_op=None,
-    grad_op=None,
+    raw_cost=None,
+    raw_grad=None,
     step_scale_op=None,
     **kwargs,
 ):
     """One outer CG iteration for the Bucket laminography problem.
 
-    ``cost_op``/``grad_op``/``step_scale_op`` default to the single-device
-    pair-safe programs; the volume-model-parallel driver injects the
-    shard_map triple from ``tike_tpu.ops.bucket.sharded_bucket_ops`` (the
-    reference's obj_split path, `lamino/solvers/bucket.py:41-172`).
+    ``raw_cost``/``raw_grad`` are TRACEABLE (data, u, theta, grid)
+    functions, defaulting to the single-device operators; the
+    model-parallel drivers inject the shard_map versions from
+    ``tike_tpu.ops.bucket.sharded_bucket_ops[_2d](..., raw=True)`` (the
+    reference's obj_split path, `lamino/solvers/bucket.py:41-172`). The
+    whole inner loop runs as one program (`_fused_outer`).
     """
-    nz = obj.shape[0]
+    from tike_tpu.utils.transfer import scalar
 
-    if cost_op is None:
-
-        def cost_op(data_, u, theta_):
-            return bucket_cost_program(cfg, data_, u, theta_, grid)
-
-    if grad_op is None:
-
-        def grad_op(data_, u, theta_):
-            return bucket_grad_program(cfg, data_, u, theta_, grid)
+    if raw_cost is None or raw_grad is None:
+        raw_cost, raw_grad = _single_device_raw(cfg)
 
     if step_scale_op is None:
 
@@ -69,42 +115,18 @@ def bucket(
             return bucket_step_scale(cfg, u, theta_, grid)
 
     if step_length == 1:
-        from tike_tpu.utils.transfer import scalar as _scalar
-
-        s = _scalar(step_scale_op(obj, theta), default=float("nan"))
+        s = scalar(step_scale_op(obj, theta), default=float("nan"))
         step_length = s if np.isfinite(s) and s > 0 else 1.0
 
-    def cost_function(u):
-        from tike_tpu.utils.transfer import scalar
+    import jax.numpy as jnp
 
-        return scalar(cost_op(data, u, theta))
-
-    def grad(u):
-        g = grad_op(data, u, theta)
-        return _reshape_like(g, obj)
-
-    obj, cost = tike_tpu.opt.conjugate_gradient(
-        None,
-        x=obj,
-        cost_function=cost_function,
-        grad=grad,
-        direction_dy=_direction_dy_p,
-        num_iter=cg_iter,
-        step_length=step_length,
+    obj, cost_d, _ = _fused_outer(raw_cost, raw_grad, cg_iter)(
+        data, theta, obj, grid, jnp.float32(step_length)
     )
+    cost = scalar(cost_d)
+    # The line-search-adapted step stays INSIDE the program's inner
+    # iterations; each outer iteration restarts from the estimated step —
+    # the reference's behavior (its conjugate_gradient never returns the
+    # adapted step), and measurably better-conditioned for bucket.
     logger.info("%10s cost is %+12.5e", "object", cost)
     return {"obj": obj, "cost": cost, "step_length": step_length}
-
-
-def _reshape_like(g, obj):
-    """Reshape a (flat or shaped) gradient to obj's shape, Pair-aware."""
-    from tike_tpu.utils.pairs import Pair
-
-    if isinstance(g, Pair):
-        target = obj.data.shape if isinstance(obj, Pair) else (*obj.shape, 2)
-        if g.data.shape != target:
-            return Pair(g.data.reshape(target))
-        return g
-    if g.shape != obj.shape:
-        return g.reshape(obj.shape)
-    return g

@@ -82,16 +82,14 @@ def cgrad(
 
     import jax.numpy as jnp
 
-    obj, cost_d, step_d = _cgrad_outer_program(
+    obj, cost_d, _ = _cgrad_outer_program(
         cfg, data, theta, obj,
         jnp.float32(step_length),
         cg_iter,
     )
     cost = scalar(cost_d)
-    # Carry the line-search-adapted step into the next outer iteration; a
-    # fully-failed search (step 0) resets to 1 so the next call
-    # re-estimates, matching the reference's fresh-estimate restart.
-    step_next = scalar(step_d, default=1.0)
-    step_length = step_next if step_next > 0 else 1.0
+    # The adapted step stays INSIDE the program's inner iterations; each
+    # outer iteration restarts from the estimated step (the reference's
+    # conjugate_gradient never returns the adapted step).
     logger.info("%10s cost is %+12.5e", "object", cost)
     return {"obj": obj, "cost": cost, "step_length": step_length}

@@ -144,7 +144,7 @@ def make_grid_full(n: int) -> np.ndarray:
     return np.stack(np.mgrid[lo:hi, lo:hi, lo:hi], axis=-1).astype(np.int32)
 
 
-def sharded_bucket_ops(cfg: BucketConfig, mesh, axis: str):
+def sharded_bucket_ops(cfg: BucketConfig, mesh, axis: str, raw: bool = False):
     """Volume-model-parallel fwd/adj/grad over a mesh axis.
 
     The reference's ``obj_split`` device groups hold volume chunks and
@@ -157,8 +157,10 @@ def sharded_bucket_ops(cfg: BucketConfig, mesh, axis: str):
     gathers only its own voxels from the (replicated) projections — the
     owner-local gradients of the reference's strided ``reduce_gpu``.
 
-    Returns ``(fwd, adj)`` acting on ((n, n, n) volume sharded on axis 0,
-    replicated theta/data, (n, n, n, 3) grid sharded on axis 0).
+    Returns ``(fwd, adj, cost, grad, step_scale)`` acting on ((n, n, n)
+    volume sharded on axis 0, replicated theta/data, (n, n, n, 3) grid
+    sharded on axis 0). With ``raw=True`` the callables are traceable
+    (not pair_jit programs), for composition inside a fused solver program.
     """
     import jax
     from jax.sharding import PartitionSpec as P
@@ -190,36 +192,43 @@ def sharded_bucket_ops(cfg: BucketConfig, mesh, axis: str):
         out_specs=P(axis),
         check_vma=False,
     )
-    # Pair-safe boundaries: on relay backends no complex array may cross a
-    # program boundary, so the public callables are pair_jit programs (the
-    # shard_map'ed bodies run on complex internally).
-    from tike_tpu.utils.pairs import pair_jit as _pair_jit
-
-    fwd = _pair_jit(fwd_sm)
-    adj = _pair_jit(adj_sm)
-
-    @_pair_jit
-    def cost_op(data, u, theta, grid4):
+    # Raw traceable versions (shard_map composes with an enclosing jit):
+    # the fused whole-CG-iteration program uses these so all inner cost/
+    # grad evaluations share ONE dispatch.
+    def cost_raw(data, u, theta, grid4):
         return bucket_cost(data, fwd_sm(u, theta, grid4))
 
-    @_pair_jit
-    def grad_op(data, u, theta, grid4):
+    def grad_raw(data, u, theta, grid4):
         fd = fwd_sm(u, theta, grid4)
         g = adj_sm(fd - data, theta, grid4)
         return g / (data.shape[-3] * cfg.n**3)
 
-    @_pair_jit
-    def step_scale_op(u, theta, grid4):
+    def step_raw(u, theta, grid4):
         import tike_tpu.linalg as _la
 
         back = adj_sm(fwd_sm(u, theta, grid4), theta, grid4)
         return 2 * _la.norm(back) / (_la.norm(u) + 1e-32)
 
-    return fwd, adj, cost_op, grad_op, step_scale_op
+    if raw:
+        return fwd_sm, adj_sm, cost_raw, grad_raw, step_raw
+
+    # Pair-safe boundaries: on relay backends no complex array may cross a
+    # program boundary, so the public callables are pair_jit programs (the
+    # shard_map'ed bodies run on complex internally).
+    from tike_tpu.utils.pairs import pair_jit as _pair_jit
+
+    return (
+        _pair_jit(fwd_sm),
+        _pair_jit(adj_sm),
+        _pair_jit(cost_raw),
+        _pair_jit(grad_raw),
+        _pair_jit(step_raw),
+    )
 
 
 def sharded_bucket_ops_2d(
-    cfg: BucketConfig, mesh, data_axis: str, vol_axis: str
+    cfg: BucketConfig, mesh, data_axis: str, vol_axis: str,
+    raw: bool = False,
 ):
     """(data x volume) 2D model parallelism for the Bucket operator.
 
@@ -297,6 +306,9 @@ def sharded_bucket_ops_2d(
     step_sm = _sm(
         _step_scale_local, (vol_spec, data_spec, vol_spec), P()
     )
+
+    if raw:
+        return fwd_sm, adj_sm, cost_sm, grad_sm, step_sm
 
     from tike_tpu.utils.pairs import pair_jit as _pair_jit
 

@@ -54,20 +54,25 @@ __all__ = [
 logger = logging.getLogger(__name__)
 
 
-def simulate(
+def _simulate_impl(
     detector_shape: int,
     probe,
     scan,
     psi,
-    fly: int = 1,
-    eigen_probe=None,
-    eigen_weights=None,
+    fly: int,
+    eigen_probe,
+    eigen_weights,
+    to_host: bool,
     **kwargs,
-) -> np.ndarray:
-    """Propagate the wavefront to the detector and return intensities.
+):
+    """Shared body of :func:`simulate` / :func:`simulate_device`.
 
-    Equivalent of `ptycho/ptycho.py:128-179`: per probe mode, apply the
-    varying probe and accumulate |farplane|^2, with fly-scan frame grouping.
+    Per probe mode, apply the varying probe and accumulate |farplane|^2 —
+    one program per mode, with complex inputs crossing the boundary as
+    Pairs (eager op-by-op dispatch is both slower and unsupported on the
+    tunneled TPU backend: complex-free boundaries only). ``to_host``
+    selects whether each mode's intensity is brought back to numpy or the
+    accumulation stays device-resident.
     """
     probe = np.asarray(probe)
     psi = np.asarray(psi)
@@ -90,81 +95,7 @@ def simulate(
         },
     )
     from tike_tpu.utils.pairs import upload
-    from tike_tpu.utils.transfer import to_host
-
-    intensity = 0
-    psi_d = upload(psi, dtype=cfloating)
-    scan_d = jnp.asarray(scan, dtype=floating)
-    for m in range(probe.shape[-3]):
-        # One program per mode, with complex inputs crossing the boundary
-        # as Pairs: eager op-by-op dispatch is both slower and unsupported
-        # on the tunneled TPU backend (complex-free boundaries only).
-        mode_intensity = _simulate_mode_program(
-            cfg,
-            psi_d,
-            scan_d,
-            upload(
-                np.ascontiguousarray(probe[..., m : m + 1, :, :]),
-                dtype=cfloating,
-            ),
-            None
-            if eigen_probe is None
-            else upload(
-                np.ascontiguousarray(eigen_probe[..., m : m + 1, :, :]),
-                dtype=cfloating,
-            ),
-            None
-            if eigen_weights is None
-            else jnp.asarray(eigen_weights[..., m : m + 1], dtype=floating),
-        )
-        intensity = intensity + to_host(mode_intensity)
-    if fly > 1:
-        intensity = intensity.reshape(
-            scan.shape[-2] // fly, fly, detector_shape, detector_shape
-        ).sum(axis=1)
-    return intensity
-
-
-def simulate_device(
-    detector_shape: int,
-    probe,
-    scan,
-    psi,
-    fly: int = 1,
-    eigen_probe=None,
-    eigen_weights=None,
-    **kwargs,
-) -> jax.Array:
-    """:func:`simulate`, but the intensities STAY on device.
-
-    Returns a (N, detector, detector) float jax.Array suitable for passing
-    directly to :class:`Reconstruction` (device-resident data path). This
-    avoids a large device->host transfer that tunneled relay backends
-    cannot perform — and, symmetrically, the re-upload — so
-    simulate-then-reconstruct pipelines (benchmarks, synthetic studies)
-    never move the dataset over the wire.
-    """
-    probe = np.asarray(probe)
-    psi = np.asarray(psi)
-    scan = np.asarray(scan)
-    cfg = PtychoConfig(
-        probe_shape=probe.shape[-1],
-        detector_shape=detector_shape,
-        nz=psi.shape[-2],
-        n=psi.shape[-1],
-        nslices=psi.shape[0],
-        **{
-            k: v
-            for k, v in kwargs.items()
-            if k
-            in (
-                "probe_wavelength",
-                "probe_FOV_lengths",
-                "multislice_propagation_distance",
-            )
-        },
-    )
-    from tike_tpu.utils.pairs import upload
+    from tike_tpu.utils import transfer
 
     intensity = None
     psi_d = upload(psi, dtype=cfloating)
@@ -188,7 +119,9 @@ def simulate_device(
             if eigen_weights is None
             else jnp.asarray(eigen_weights[..., m : m + 1], dtype=floating),
         )
-        if hasattr(mode_intensity, "data") and not isinstance(
+        if to_host:
+            mode_intensity = transfer.to_host(mode_intensity)
+        elif hasattr(mode_intensity, "data") and not isinstance(
             mode_intensity, jax.Array
         ):
             mode_intensity = mode_intensity.data  # real-valued Pair leaf
@@ -202,6 +135,52 @@ def simulate_device(
             scan.shape[-2] // fly, fly, detector_shape, detector_shape
         ).sum(axis=1)
     return intensity
+
+
+def simulate(
+    detector_shape: int,
+    probe,
+    scan,
+    psi,
+    fly: int = 1,
+    eigen_probe=None,
+    eigen_weights=None,
+    **kwargs,
+) -> np.ndarray:
+    """Propagate the wavefront to the detector and return intensities.
+
+    Equivalent of `ptycho/ptycho.py:128-179`: per probe mode, apply the
+    varying probe and accumulate |farplane|^2, with fly-scan frame grouping.
+    """
+    return _simulate_impl(
+        detector_shape, probe, scan, psi, fly, eigen_probe, eigen_weights,
+        to_host=True, **kwargs,
+    )
+
+
+def simulate_device(
+    detector_shape: int,
+    probe,
+    scan,
+    psi,
+    fly: int = 1,
+    eigen_probe=None,
+    eigen_weights=None,
+    **kwargs,
+) -> jax.Array:
+    """:func:`simulate`, but the intensities STAY on device.
+
+    Returns a (N, detector, detector) float jax.Array suitable for passing
+    directly to :class:`Reconstruction` (device-resident data path). This
+    avoids a large device->host transfer that tunneled relay backends
+    cannot perform — and, symmetrically, the re-upload — so
+    simulate-then-reconstruct pipelines (benchmarks, synthetic studies)
+    never move the dataset over the wire.
+    """
+    return _simulate_impl(
+        detector_shape, probe, scan, psi, fly, eigen_probe, eigen_weights,
+        to_host=False, **kwargs,
+    )
 
 
 @pair_jit(static_argnames=("cfg",))
@@ -720,20 +699,28 @@ class Reconstruction:
                 # backends a monolithic multi-hundred-MB transfer is a long
                 # silent stall indistinguishable from a relay wedge; chunked
                 # uploads give supervisors (bench.py) real progress signals.
-                parts = []
+                # Each batch lands in a donated preallocated buffer
+                # (dynamic_update_slice in place) so peak HBM stays
+                # ~dataset + one batch, not the 2x of stacking parts.
+                from tike_tpu.utils import transfer as _transfer
+
+                write_batch = jax.jit(
+                    lambda buf, part, i: jax.lax.dynamic_update_slice(
+                        buf, part[None], (i, 0, 0, 0)
+                    ),
+                    donate_argnums=(0,),
+                )
+                dat = jnp.zeros(dat_np.shape, dtype=dat_np.dtype)
                 for i in range(dat_np.shape[0]):
                     part = jnp.asarray(dat_np[i])
-                    from tike_tpu.utils import transfer as _transfer
-
                     _transfer.scalar(part[0, 0, 0])  # force the transfer
-                    parts.append(part)
+                    dat = write_batch(dat, part, jnp.int32(i))
                     logger.info(
                         "uploaded data batch %d/%d (%.0f MB)",
                         i + 1,
                         dat_np.shape[0],
                         dat_np[i].nbytes / 1e6,
                     )
-                dat = jnp.stack(parts)
             else:
                 dat = jnp.asarray(dat_np)
             if self.mesh is not None:
