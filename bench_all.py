@@ -352,12 +352,99 @@ def bench_stream_1m(n_patterns=1_000_000, det=64):
     }
 
 
+def bench_stream_compare(n_patterns=100_000, det=64):
+    """Device-resident vs host-streamed throughput at the same size.
+
+    VERDICT r4 item 6: config 5's 1M-pattern number benchmarks the dev
+    tunnel (~25 MB/s uploads), not the streaming pipeline. At 100k x 64²
+    the dataset (1.6 GB) still fits HBM, so the same problem can run both
+    ways on-chip: the delta isolates what host-streaming itself costs when
+    the host link is NOT the bottleneck (device-resident) vs when it is.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    import tike_tpu.ptycho as tp
+    from tike_tpu.utils import pairs, transfer
+
+    rng = np.random.default_rng(0)
+    hw = 4096
+    scan = np.stack(
+        [
+            rng.uniform(2, hw - det - 3, n_patterns),
+            rng.uniform(2, hw - det - 3, n_patterns),
+        ],
+        -1,
+    ).astype(np.float32)
+    probe = (tp.gaussian(det) * np.exp(1j * 0.1 * tp.gaussian(det)))[
+        None, None, None
+    ].astype(np.complex64)
+    psi = np.full((1, hw, hw), 0.5 + 0j, np.complex64)
+
+    def fresh_params():
+        return tp.PtychoParameters(
+            probe=probe.copy(),
+            psi=psi.copy(),
+            scan=scan.copy(),
+            algorithm_options=tp.RpieOptions(
+                num_batch=10, num_iter=1, batch_method="random"
+            ),
+            object_options=tp.ObjectOptions(),
+            probe_options=tp.ProbeOptions(
+                init_rescale_from_measurements=False
+            ),
+        )
+
+    def timed(data, on_device):
+        with tp.Reconstruction(
+            data,
+            fresh_params(),
+            store_data_on_device=on_device,
+            random_seed=0,
+        ) as context:
+            def sync():
+                p = context.parameters.psi
+                leaf = p.data if isinstance(p, pairs.Pair) else p
+                transfer.scalar(jnp.abs(jnp.asarray(leaf)).sum())
+
+            context.iterate(1)  # warm-up: compile
+            sync()
+            start = time.perf_counter()
+            context.iterate(2)
+            sync()
+            return (time.perf_counter() - start) / 2
+
+    # Device-resident arm: data born on-chip (random suffices for
+    # throughput; nothing crosses the tunnel).
+    data_dev = jax.random.uniform(
+        jax.random.PRNGKey(0), (n_patterns, det, det), jnp.float32
+    )
+    dev_s = timed(data_dev, on_device=True)
+    del data_dev
+    # Host-streamed arm: same shapes, data stays in host RAM and each
+    # mini-batch uploads through the tunnel (double-buffered).
+    data_host = rng.random((n_patterns, det, det)).astype(np.float32)
+    host_s = timed(data_host, on_device=False)
+
+    return {
+        "config": "stream_compare",
+        "metric": "stream100k_device_resident_patterns_per_sec",
+        "value": round(n_patterns / dev_s, 1),
+        "unit": "patterns/s",
+        "host_streamed_patterns_per_sec": round(n_patterns / host_s, 1),
+        "device_epoch_s": round(dev_s, 2),
+        "host_epoch_s": round(host_s, 2),
+        "n_patterns": n_patterns,
+    }
+
+
 BENCHES = {
     "rpie_siemens": bench_rpie_siemens,
     "lsqml_opr_pos": bench_lsqml_opr_pos,
     "lamino_cgrad": bench_lamino_cgrad,
     "admm_joint": bench_admm_joint,
     "stream_1m": bench_stream_1m,
+    "stream_compare": bench_stream_compare,
 }
 
 
