@@ -38,6 +38,19 @@ JOBS = {
         1200,
     ),
     "hbm_ceiling": ([sys.executable, "profile/hbm_ceiling_tpu.py"], 1800),
+    "headline_ablation": (
+        [sys.executable, "profile/headline_ablation_tpu.py"],
+        2400,
+    ),
+    "headline_ablation_fftpre": (
+        [sys.executable, "profile/headline_ablation_tpu.py"],
+        2400,
+        {"TIKE_FFT_PRECOND": "1"},
+    ),
+    "stream_compare": (
+        [sys.executable, "bench_all.py", "stream_compare"],
+        2400,
+    ),
     "bench_all": (
         [
             sys.executable,
@@ -145,7 +158,8 @@ def main():
         round_no += 1
         still_pending = []
         for name in pending:
-            argv, timeout = JOBS[name]
+            argv, timeout, *rest = JOBS[name]
+            env = dict(os.environ, **rest[0]) if rest else None
             # Skip the probe when a job just succeeded: the relay is
             # demonstrably alive, and a fresh probe process costs ~110 s
             # of the (short) alive window on cold-start alone.
@@ -162,7 +176,7 @@ def main():
                 try:
                     proc = subprocess.run(
                         argv, stdout=fh, stderr=subprocess.STDOUT,
-                        timeout=timeout, cwd=ROOT,
+                        timeout=timeout, cwd=ROOT, env=env,
                     )
                     rc = proc.returncode
                 except subprocess.TimeoutExpired:
