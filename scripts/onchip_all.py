@@ -51,6 +51,10 @@ JOBS = {
         [sys.executable, "bench_all.py", "stream_compare"],
         2400,
     ),
+    "patch_stage": (
+        [sys.executable, "profile/patch_stage_tpu.py", "1000", "16"],
+        1200,
+    ),
     "bench_all": (
         [
             sys.executable,
