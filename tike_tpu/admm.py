@@ -36,6 +36,16 @@ import tike_tpu.lamino
 from tike_tpu.constants import wavenumber
 from tike_tpu.ops.lamino import LaminoConfig, lamino_fwd_p
 from tike_tpu.ptycho.solvers import PtychoParameters
+from tike_tpu.utils.pairs import pair_jit as _pair_jit
+
+
+@_pair_jit(static_argnames=("shape",))
+def _coverage_program(pw_broadcast, scan, shape):
+    """Illumination coverage: real |probe|^2 accumulated over scan windows
+    as ONE program with real (float) boundaries only."""
+    from tike_tpu.ops.patch import patch_adj
+
+    return patch_adj(pw_broadcast, scan, shape)
 
 logger = logging.getLogger(__name__)
 
@@ -119,25 +129,29 @@ def reconstruct_joint_admm(
     # lifts the reconstruction (scripts/admm_quality.py). Uniform weight
     # w = 1 reduces the blend exactly to the unweighted (raw + rho*t)/(1+rho).
     if coverage_weighted:
-        from tike_tpu.ops.patch import patch_adj as _patch_adj
-
         weights = []
         for p in params:
             pw = np.sum(
                 np.square(np.abs(np.asarray(p.probe))[0, 0]), axis=0
             ).astype(np.float32)
             npos = p.scan.shape[0]
+            # Real-valued pair-safe program: the old eager complex
+            # patch_adj call both dispatched ops outside jit and uploaded
+            # complex directly — each independently crashes/wedges the
+            # tunneled relay backend (observed UNIMPLEMENTED in round 5).
             cov = np.asarray(
-                _patch_adj(
+                _coverage_program(
                     jnp.asarray(
-                        np.broadcast_to(
-                            pw, (npos, pw.shape[0], pw.shape[1])
-                        ).astype(np.complex64)
+                        np.ascontiguousarray(
+                            np.broadcast_to(
+                                pw, (npos, pw.shape[0], pw.shape[1])
+                            )
+                        )
                     ),
                     jnp.asarray(p.scan, dtype=jnp.float32),
                     psi.shape[-2:],
                 )
-            ).real
+            )
             weights.append(cov / (cov.mean() + 1e-12))
         weights = np.asarray(weights, dtype=np.float32)
     else:
