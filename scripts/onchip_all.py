@@ -86,9 +86,13 @@ _PROBE_CODE = (
 )
 
 
-def probe_relay(timeout=120.0):
+def probe_relay(timeout=None):
     # Cold-but-alive relay: first tiny program observed at ~110 s (remote
-    # compiler spin-up); a 45 s timeout misclassified that as wedged.
+    # compiler spin-up); a 45 s timeout misclassified that as wedged. On a
+    # CPU-contended box even jax import takes ~60 s, so the timeout is
+    # env-tunable (ONCHIP_PROBE_TIMEOUT_S).
+    if timeout is None:
+        timeout = float(os.environ.get("ONCHIP_PROBE_TIMEOUT_S", 240))
     try:
         proc = subprocess.run(
             [sys.executable, "-c", _PROBE_CODE],
