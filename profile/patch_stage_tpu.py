@@ -149,6 +149,27 @@ def main():
 
     timeit("E: native (8,128) tile take", tile_take, img)
 
+    # F: full patch extraction via tile-take + TILED selection einsum (the
+    # candidate replacement for the production path: same math as C, the
+    # (y, x) contractions decomposed over the (8, 128) tile grid so the
+    # take's layout feeds the MXU directly, no reassembly transpose).
+    ky, kx = th // 8, tw // 128
+
+    def take_einsum(images, c):
+        padded = prep(images, c).reshape(2, nbands, 8, ntx, 128)
+        q = jnp.moveaxis(padded, 3, 2).reshape(2, nbands * ntx, 8, 128)
+        tiles = jnp.take(q, flat_tile, axis=1).reshape(
+            2, B, ky, kx, 8, 128
+        )
+        Rt = R.reshape(B, ky, 8, P)
+        Ct = C.reshape(B, kx, 128, P)
+        out = jnp.einsum(
+            "nuya,cnuvyx,nvxb->ncab", Rt, tiles, Ct, precision=HIGH
+        )
+        return jnp.sum(jnp.abs(out)) * 1e-12 + c
+
+    timeit("F: tile-take + tiled einsum (full)", take_einsum, img)
+
 
 if __name__ == "__main__":
     main()
