@@ -111,11 +111,13 @@ def _probe_precond_math(cfg: PtychoConfig, psi, scan, mask=None):
 # ---------------------------------------------------------------------------
 
 
-# TIKE_FFT_PRECOND=1 switches the single-slice epoch programs to the FFT
-# formulation (exact; see tests/ptycho/test_precond_fft.py). Default off
-# until measured faster on the chip (the density scatter-add cost is
-# hardware-dependent).
-USE_FFT_PRECOND = _os.environ.get("TIKE_FFT_PRECOND", "0") == "1"
+# TIKE_FFT_PRECOND selects the single-slice epoch programs' preconditioner
+# formulation (exact either way; see tests/ptycho/test_precond_fft.py).
+# Default ON since round 5: measured on-chip at the headline config
+# (10k x 128², profile/onchip/headline_ablation*.log) the FFT formulation
+# is 10.4% faster end-to-end (222.0 -> 201.1 ms/epoch). Set
+# TIKE_FFT_PRECOND=0 to restore the per-batch patch-gather formulation.
+USE_FFT_PRECOND = _os.environ.get("TIKE_FFT_PRECOND", "1") == "1"
 
 
 def _fft_len(n: int) -> int:
