@@ -55,6 +55,15 @@ JOBS = {
         [sys.executable, "profile/patch_stage_tpu.py", "1000", "16"],
         1200,
     ),
+    "rpie_variance": (
+        # config 1 back-to-back x3: run-to-run spread of the
+        # dispatch-dominated 16 ms epoch (VERDICT r4 item 3).
+        [
+            sys.executable, "bench_all.py",
+            "rpie_siemens", "rpie_siemens", "rpie_siemens",
+        ],
+        2400,
+    ),
     "bench_all": (
         [
             sys.executable,
