@@ -156,6 +156,9 @@ def main():
     ky, kx = th // 8, tw // 128
 
     def take_einsum(images, c):
+        # Two explicit batched matmuls: the one-shot 6-operand einsum
+        # ("nuya,cnuvyx,nvxb") lowered pathologically (>20 min, round-5
+        # on-chip timeout) — keep each contraction a clean batch matmul.
         padded = prep(images, c).reshape(2, nbands, 8, ntx, 128)
         q = jnp.moveaxis(padded, 3, 2).reshape(2, nbands * ntx, 8, 128)
         tiles = jnp.take(q, flat_tile, axis=1).reshape(
@@ -163,9 +166,10 @@ def main():
         )
         Rt = R.reshape(B, ky, 8, P)
         Ct = C.reshape(B, kx, 128, P)
-        out = jnp.einsum(
-            "nuya,cnuvyx,nvxb->ncab", Rt, tiles, Ct, precision=HIGH
-        )
+        t1 = jnp.einsum(
+            "nuya,cnuvyx->cnavx", Rt, tiles, precision=HIGH
+        )  # (2, B, P, kx, 128)
+        out = jnp.einsum("cnavx,nvxb->ncab", t1, Ct, precision=HIGH)
         return jnp.sum(jnp.abs(out)) * 1e-12 + c
 
     timeit("F: tile-take + tiled einsum (full)", take_einsum, img)
