@@ -438,10 +438,50 @@ def bench_stream_compare(n_patterns=100_000, det=64):
     }
 
 
+def bench_lamino_cgls(n=128, ntheta=64):
+    """CGLS variant of config 3: same problem, optimal-step linear CG.
+
+    Beyond-reference solver (`lamino/solvers/cgls.py`): one fwd + one
+    exact-adjoint per inner step, no backtracking cost evaluations.
+    Reported alongside (not replacing) the cgrad config so round-over-
+    round comparability of config 3 is preserved.
+    """
+    import tike_tpu.lamino
+
+    rng = np.random.default_rng(0)
+    obj = (
+        rng.standard_normal((n, n, n)) + 1j * rng.standard_normal((n, n, n))
+    ).astype(np.complex64) * np.exp(
+        -((np.mgrid[0:n, 0:n, 0:n] - n / 2) ** 2).sum(0) / (n / 3) ** 2
+    )
+    theta = np.linspace(0, np.pi, ntheta, endpoint=False).astype(np.float32)
+    tilt = np.pi / 3
+    data = tike_tpu.lamino.simulate(obj, theta, tilt, eps=1e-3, upsample=1)
+
+    tike_tpu.lamino.reconstruct(
+        data, theta, tilt, algorithm="cgls", num_iter=1, upsample=1
+    )
+    n_timed = 5
+    start = time.perf_counter()
+    result = tike_tpu.lamino.reconstruct(
+        data, theta, tilt, algorithm="cgls", num_iter=n_timed, upsample=1
+    )
+    elapsed = time.perf_counter() - start
+    return {
+        "config": "lamino_cgls",
+        "metric": "lamino_cgls_128cubed_sec_per_iter",
+        "value": round(elapsed / n_timed, 4),
+        "unit": "s/iter",
+        "ntheta": ntheta,
+        "final_cost": float(np.asarray(result["cost"])[-1]),
+    }
+
+
 BENCHES = {
     "rpie_siemens": bench_rpie_siemens,
     "lsqml_opr_pos": bench_lsqml_opr_pos,
     "lamino_cgrad": bench_lamino_cgrad,
+    "lamino_cgls": bench_lamino_cgls,
     "admm_joint": bench_admm_joint,
     "stream_1m": bench_stream_1m,
     "stream_compare": bench_stream_compare,

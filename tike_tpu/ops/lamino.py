@@ -97,6 +97,47 @@ def lamino_adj(cfg: LaminoConfig, data, theta):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def lamino_adj_exact(cfg: LaminoConfig, data, theta):
+    """The EXACT adjoint of :func:`lamino_fwd` (any eps/upsample).
+
+    The reference's adjoint (and :func:`lamino_adj`) evaluates us2eq at
+    the NEGATED frequencies with a forward 3D FFT — an identity that is
+    exact only when no energy sits on the even grid's Nyquist row (where
+    k and -k alias to the same index). At upsample=1 the wrapped
+    plane-corner frequencies put real energy there and the pair drifts
+    ~20% from adjointness (measured <Au,d>/<u,A*d> = 0.81 - 0.22j at
+    eps=1e-3, upsample=1). This version transposes the forward chain
+    directly — scatter at +xi, true inverse 3D FFT, crop, deapodize —
+    so <fwd(u), d> == <u, adj_exact(d)> to float precision always.
+    CGLS (`lamino/solvers/cgls.py`) requires this; the backtracking-CG
+    solver keeps :func:`lamino_adj` for reference parity.
+    """
+    from .usfft import kb_parameters, usfft_parameters, _kb_get_kernel, \
+        _get_kernel, scatter_kb_rows, scatter_kb, scatter, \
+        gather_kb_rows  # noqa: F401
+
+    n = cfg.n
+    xi = make_grids(theta, n, cfg.tilt).reshape(theta.shape[0] * n, n, 3)
+    end_dtype = data.real.dtype
+    # Adjoint of the trailing centered ifft2 (normalized 1/n^2): fft2 / n^2.
+    F = _centered_fft2(data).reshape(theta.shape[0] * n, n) / (n * n)
+    if cfg.kernel == "kb":
+        upsampled, pad, m, beta = kb_parameters(n, cfg.eps, cfg.upsample)
+        deapod = _kb_get_kernel(n, upsampled, m, beta, end_dtype)
+        G = scatter_kb_rows(F, xi, upsampled, m, beta)
+    else:
+        upsampled, pad, mu, m = usfft_parameters(n, cfg.eps, cfg.upsample)
+        deapod = _get_kernel(n, mu, dtype=end_dtype) * upsampled**3
+        G = scatter(F.reshape(-1), xi.reshape(-1, 3), upsampled, m, mu)
+    # Adjoint of the centered unnormalized fftn: upsampled^3 * ifftn.
+    fe = jnp.fft.fftshift(
+        jnp.fft.ifftn(jnp.fft.ifftshift(G))
+    ) * (upsampled**3)
+    end = pad + n
+    return fe[pad:end, pad:end, pad:end] / deapod
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def lamino_cost(cfg: LaminoConfig, data, theta, obj):
     """Least-squares cost (`lamino.py:146-152`)."""
     diff = lamino_fwd(cfg, obj, theta) - data

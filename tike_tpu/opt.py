@@ -332,6 +332,43 @@ def conjugate_gradient_traced(
     return x, cost, step
 
 
+def cgls_traced(fwd, adj, b, x0, num_iter=4):
+    """CGLS — conjugate gradients on the normal equations — traceable.
+
+    For LINEAR forward models (laminography USFFT / bucket: cost
+    = |fwd(x) - b|^2 exactly), CGLS needs ONE fwd + ONE adj per iteration
+    with mathematically optimal step lengths — no backtracking cost
+    evaluations at all, and the data-space residual is maintained
+    incrementally so the cost comes free. This is a beyond-reference
+    alternative to the generic Dai-Yuan + backtracking machinery the
+    reference applies to these linear problems (`opt.py:312-380` there).
+
+    Returns (x, final_cost) where cost = |fwd(x) - b|^2.
+    """
+    r = b - fwd(x0)
+    s = adj(r)
+    p = s
+    gamma = jnp.sum((s * jnp.conj(s)).real)
+    x = x0
+    for _ in range(num_iter):
+        q = fwd(p)
+        qq = jnp.sum((q * jnp.conj(q)).real)
+        alpha = (gamma / jnp.where(qq == 0, 1.0, qq)).astype(jnp.float32)
+        # A zero q means p is in the null space measured by the data —
+        # no step can help; freeze (alpha would be gamma/1 otherwise).
+        alpha = jnp.where(qq == 0, 0.0, alpha)
+        x = x + alpha.astype(x.real.dtype) * p
+        r = r - alpha.astype(r.real.dtype) * q
+        s = adj(r)
+        gamma_new = jnp.sum((s * jnp.conj(s)).real)
+        beta = gamma_new / jnp.where(gamma == 0, 1.0, gamma)
+        beta = jnp.where(gamma == 0, 0.0, beta)
+        gamma = gamma_new
+        p = s + beta.astype(p.real.dtype) * p
+    cost = jnp.sum((r * jnp.conj(r)).real)
+    return x, cost
+
+
 def direction_dy(grad0, grad1, dir_, xp=jnp):
     """Dai-Yuan conjugate gradient direction (`opt.py:281-310`)."""
     numer = la.inner(grad1, grad1)
