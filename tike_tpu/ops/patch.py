@@ -146,6 +146,7 @@ def patch_fwd(
     """
     p = patch_width
     h, w = images.shape
+    n = positions.shape[0]
     corner, frac = _split_positions(positions)
     imf = _c2f(images)  # (C, H, W)
     nch = imf.shape[0]
@@ -154,23 +155,40 @@ def patch_fwd(
     padded = jnp.pad(imf, ((0, 0), (0, hp - h), (0, wp - w)))
     cy, cx = _aligned_corners(corner)
 
-    def one_tile(y0, x0):
-        return jax.lax.dynamic_slice(padded, (0, y0, x0), (nch, th, tw))
-
-    tiles = jax.vmap(one_tile)(cy, cx)  # (N, C, th, tw) aligned gather
-    R, C = _selection_mats(p, corner, frac)
-    # patch = R^T @ tile @ C on the MXU. Default HIGHEST keeps f32 blend
-    # weights (the parity surface); solver internals pass HIGH (bf16_3x,
-    # measured ~15% faster with 3.6e-5 relative error — BENCH_TABLE.md).
-    out = jnp.einsum(
-        "nya,ncyx,nxb->ncab",
-        R,
-        tiles,
-        C,
-        precision=precision,
+    # Fetch each window's native (8, 128) tiles with ONE jnp.take of 4 KB
+    # rows instead of a vmapped dynamic_slice per window: measured on-chip
+    # (profile/onchip/patch_stage.log, round 5) the take moves the same
+    # bytes 25% faster and the take+tiled-einsum total is 1.8x faster than
+    # the fused dynamic_slice+einsum (3.49 vs 6.18 ms at 1000 x 128²).
+    nbands, ntx = hp // _SUB, wp // _LANE
+    ky, kx = th // _SUB, tw // _LANE
+    tile_idx = (
+        ((cy // _SUB)[:, None, None]
+         + jnp.arange(ky, dtype=jnp.int32)[None, :, None]) * ntx
+        + (cx // _LANE)[:, None, None]
+        + jnp.arange(kx, dtype=jnp.int32)[None, None, :]
+    ).reshape(-1)
+    q = jnp.moveaxis(
+        padded.reshape(nch, nbands, _SUB, ntx, _LANE), 3, 2
+    ).reshape(nch, nbands * ntx, _SUB, _LANE)
+    tiles = jnp.take(q, tile_idx, axis=1).reshape(
+        nch, n, ky, kx, _SUB, _LANE
     )
-    # (N, C, P, P) -> complex (N, P, P)
-    return _f2c(jnp.moveaxis(out, 1, 0), images.dtype)
+    R, C = _selection_mats(p, corner, frac)
+    # patch = R^T @ tile @ C on the MXU, the (y, x) contractions
+    # decomposed over the (8, 128) tile grid (two clean batched matmuls;
+    # a single 3-operand tiled einsum lowers pathologically). Default
+    # HIGHEST keeps f32 blend weights (the parity surface); solver
+    # internals pass HIGH (bf16_3x, measured ~15% faster with 3.6e-5
+    # relative error — BENCH_TABLE.md).
+    Rt = R.reshape(n, ky, _SUB, p)
+    Ct = C.reshape(n, kx, _LANE, p)
+    t1 = jnp.einsum(
+        "nuya,cnuvyx->cnavx", Rt, tiles, precision=precision
+    )  # (C, N, P, kx, 128)
+    out = jnp.einsum("cnavx,nvxb->cnab", t1, Ct, precision=precision)
+    # (C, N, P, P) -> complex (N, P, P)
+    return _f2c(out, images.dtype)
 
 
 def _spread_windows_f(patches_f: jax.Array, frac: jax.Array) -> jax.Array:

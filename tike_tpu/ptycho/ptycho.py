@@ -846,7 +846,15 @@ class Reconstruction:
             ),
             rescale_period=algo.rescale_period,
             alpha=float(getattr(algo, "alpha", 0.05)),
-            fft_precond=solvers._preconditioner.USE_FFT_PRECOND,
+            fft_precond=(
+                solvers._preconditioner.USE_FFT_PRECOND
+                and solvers._preconditioner.fft_precond_profitable(
+                    n_positions=p.scan.shape[0],
+                    probe_shape=self.operator.probe_shape,
+                    nz=self.operator.nz,
+                    n=self.operator.n,
+                )
+            ),
             recover_positions=p.position_options is not None,
             pos_update_start=(
                 p.position_options.update_start

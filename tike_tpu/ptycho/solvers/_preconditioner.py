@@ -120,6 +120,30 @@ def _probe_precond_math(cfg: PtychoConfig, psi, scan, mask=None):
 USE_FFT_PRECOND = _os.environ.get("TIKE_FFT_PRECOND", "1") == "1"
 
 
+def fft_precond_profitable(
+    n_positions: int, probe_shape: int, nz: int, n: int
+) -> bool:
+    """Whether the FFT formulation beats the per-position gather here.
+
+    Cost model from the round-5 on-chip measurements: the gather
+    formulation touches one aligned (th x tw) tile per position; the FFT
+    formulation pays a handful of full-object FFTs (~ s1*s2*log2 work)
+    regardless of position count. The crossover constant 3.0 classifies
+    both measured points correctly with margin — headline (10k x 128²
+    from 1500², ratio 5.4x: FFT measured +10.4%) vs siemens (516 x 128²
+    from 501², ratio 2.4x: FFT measured -6%); the true crossover lies
+    between them.
+    """
+    from tike_tpu.ops.patch import _tile_dims
+
+    th, tw = _tile_dims(probe_shape)
+    s1 = _fft_len(nz + probe_shape + 1)
+    s2 = _fft_len(n + probe_shape + 1)
+    import numpy as _np
+
+    return n_positions * th * tw > 3.0 * s1 * s2 * _np.log2(s1 * s2)
+
+
 def _fft_len(n: int) -> int:
     """Smallest 5-smooth length >= n (fast XLA FFT sizes)."""
     m = n

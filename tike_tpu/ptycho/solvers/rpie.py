@@ -45,6 +45,16 @@ from .options import PtychoParameters, RpieOptions
 
 logger = logging.getLogger(__name__)
 
+# Round-4 introduced reusing the forward pass's object windows in the
+# backward pass (fewer patch gathers). Round-5 on-chip A/B found the reuse
+# SLOWER end-to-end (keeping (B, P, P) windows live across the farplane/
+# exitwave chain costs more than the saved gather) -- default off;
+# TIKE_REUSE_WINDOWS=1 restores it.
+import os as _os
+
+_REUSE_WINDOWS = _os.environ.get("TIKE_REUSE_WINDOWS", "0") == "1"
+
+
 
 def _masked_mean_each_pattern(elem, pixel_mask):
     """Per-pattern mean over measured pixels only (static-shape version of
@@ -91,9 +101,15 @@ def _batch_gradients_math(
     else:
         unique_probe = probe[:, 0]  # (1, M, P, P)
 
-    farplane, slice_probes, slice_patches = ptycho_fwd_with_probes(
-        cfg, psi, scan_b, unique_probe, return_patches=True
-    )  # (B, M, DET, DET), (D, B, M, P, P), (D, B, P, P)
+    if _REUSE_WINDOWS:
+        farplane, slice_probes, slice_patches = ptycho_fwd_with_probes(
+            cfg, psi, scan_b, unique_probe, return_patches=True
+        )  # (B, M, DET, DET), (D, B, M, P, P), (D, B, P, P)
+    else:
+        farplane, slice_probes = ptycho_fwd_with_probes(
+            cfg, psi, scan_b, unique_probe
+        )
+        slice_patches = None
     intensity = intensity_from_farplane(farplane)  # (B, DET, DET)
 
     costs = _masked_mean_each_pattern(
@@ -156,10 +172,20 @@ def _batch_gradients_math(
             )
         )
         # Reuse the forward pass's object windows instead of re-running
-        # the patch gather (identical inputs -> identical values; the
-        # gather's aligned-tile reads are the largest HBM-traffic stage).
+        # the patch gather (identical inputs -> identical values). Round-5
+        # measurement: keeping the windows live across the farplane chain
+        # is SLOWER than re-gathering on this chip (TIKE_REUSE_WINDOWS=0
+        # default; see BENCH_TABLE.md round-5 config-1 investigation).
+        patches_tt = (
+            slice_patches[tt]
+            if slice_patches is not None
+            else patch_fwd(
+                psi[tt], scan_b, cfg.probe_shape,
+                precision=jax.lax.Precision.HIGH,
+            )
+        )
         probe_num_slices.append(
-            jnp.sum(jnp.conj(slice_patches[tt])[:, None] * diff, axis=0)
+            jnp.sum(jnp.conj(patches_tt)[:, None] * diff, axis=0)
         )
         if tt > 0:
             diff = fresnel_adj(diff, prop)
@@ -172,7 +198,14 @@ def _batch_gradients_math(
     # --- Eigen weight update (`rpie.py:493-506`) ---
     eigen_delta = None
     if recover_probe and eigen_weights is not None:
-        patches0 = slice_patches[0][:, None]
+        patches0 = (
+            slice_patches[0]
+            if slice_patches is not None
+            else patch_fwd(
+                psi[0], scan_b, cfg.probe_shape,
+                precision=jax.lax.Precision.HIGH,
+            )
+        )[:, None]
         OP = patches0 * probe[0, :, 0:1, :, :]
         eigen_numerator = jnp.sum(
             jnp.real(jnp.conj(OP) * diff[:, 0:1]), axis=(-1, -2)
