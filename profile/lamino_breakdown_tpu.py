@@ -158,6 +158,37 @@ def main():
         12 * b_vol + T * (4 * b_pts + 2 * b_vol),
         grad_full, data, u, theta,
     )
+
+    # Round-5 additions: the exact adjoint (CGLS's operator) and one CGLS
+    # outer iteration, to attribute the measured 0.63 s/outer-iter.
+    from tike_tpu.ops.lamino import lamino_adj_exact
+    import tike_tpu.opt as _opt
+
+    def adj_exact_full(d, th, c):
+        v = lamino_adj_exact(cfg, d * (1 + 0 * c), th)
+        return jnp.sum(jnp.abs(v)) * 1e-12 + c
+
+    repeat(
+        "lamino_adj_exact FULL",
+        6 * b_vol + T * (b_pts + 2 * b_vol),
+        adj_exact_full, data, theta,
+    )
+
+    def cgls_outer(d, v, th, c):
+        x, cost = _opt.cgls_traced(
+            fwd=lambda uu: lamino_fwd(cfg, uu, th),
+            adj=lambda rr: lamino_adj_exact(cfg, rr, th),
+            b=d,
+            x0=v * (1 + 0 * c),
+            num_iter=4,
+        )
+        return cost * 1e-12 + c
+
+    repeat(
+        "CGLS outer (4 inner: 5 fwd+5 adj)",
+        10 * (6 * b_vol + T * 2 * b_pts),
+        cgls_outer, data, u, theta,
+    )
     print(
         f"summary: grad {dt * 1e3:.1f} ms/call; a cgrad outer iter runs "
         f"grad + fwd (line search) + cost ~= {dt * 1e3 * 1.7:.0f} ms if "
