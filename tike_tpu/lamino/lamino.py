@@ -57,7 +57,10 @@ def reconstruct(
     """Solve the laminography problem using the given algorithm.
 
     Same parameters as the reference (`lamino/lamino.py:89-179`); `mesh`
-    optionally shards the theta axis across devices.
+    optionally shards the theta axis across devices. ``algorithm`` is
+    ``"cgrad"`` (the reference's backtracking CG) or ``"cgls"``
+    (beyond-reference optimal-step CG on the normal equations — faster
+    per iteration AND deeper-converging; see docs/lamino.md).
     """
     n = data.shape[2]
     obj = np.zeros([n, n, n], dtype="complex64") if obj is None else obj
