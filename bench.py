@@ -345,7 +345,7 @@ def main():
     _stage("imports done")
     n_patterns = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
     solver = sys.argv[2] if len(sys.argv) > 2 else "lsqml"
-    num_batch = 10
+    num_batch = int(os.environ.get("TIKE_BENCH_NUM_BATCH", "10"))
 
     # Tiny warmup op: the tunneled backend's first program on a cold remote
     # compiler is unreliable; a small program first stabilizes it.

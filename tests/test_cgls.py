@@ -53,6 +53,7 @@ def test_cgls_converges_and_beats_cgrad_at_equal_iterations():
     assert corr > 0.95, corr
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(
     not (
         os.path.isfile(os.path.join(LOCAL_DATA, "lamino_setup.pickle.lzma"))
