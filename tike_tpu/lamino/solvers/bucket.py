@@ -29,8 +29,6 @@ from tike_tpu.utils.pairs import pair_jit
 
 logger = logging.getLogger(__name__)
 
-# Module-level so the jit cache survives across outer CG iterations.
-_direction_dy_p = pair_jit(tike_tpu.opt.direction_dy)
 
 
 @functools.lru_cache(maxsize=8)

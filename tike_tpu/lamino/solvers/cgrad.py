@@ -21,8 +21,6 @@ from tike_tpu.utils.pairs import pair_jit
 
 logger = logging.getLogger(__name__)
 
-# Module-level so the jit cache survives across outer CG iterations.
-_direction_dy_p = pair_jit(tike_tpu.opt.direction_dy)
 
 
 @pair_jit(static_argnames=("cfg", "cg_iter"))
