@@ -424,6 +424,12 @@ def main():
         "unit": "patterns/s",
         "vs_baseline": round(patterns_per_sec / 10_000, 3),
     }
+    try:  # quality transparency: the timed epochs' final mean cost
+        costs = context.parameters.algorithm_options.costs
+        record["final_cost"] = round(float(np.mean(costs[-1])), 6)
+        record["num_batch"] = num_batch
+    except Exception:
+        pass
     # Journal in the child too: if the orchestrating parent died (observed
     # when a relay-alive window opens mid-restart), the measurement must
     # not be lost with the broken stdout pipe.
