@@ -35,9 +35,11 @@ def main():
 
     from bench import _make_inputs
 
+    from tike_tpu.ptycho.solvers._preconditioner import USE_FFT_PRECOND
+
     print(
         f"headline ablation: {n_patterns} patterns, "
-        f"TIKE_FFT_PRECOND={os.environ.get('TIKE_FFT_PRECOND', '0')}",
+        f"fft_precond={USE_FFT_PRECOND} (size-gated per problem)",
         flush=True,
     )
     scan, psi, probe = _make_inputs(n_patterns)
