@@ -34,6 +34,51 @@ def _problem(n=24, ntheta=8, seed=0):
     return obj, theta, tilt, data
 
 
+def test_lamino_adj_exact_is_adjoint_at_critical_sampling():
+    """At upsample=1 the conventional -xi adjoint drifts ~20% from true
+    adjointness (Nyquist-row aliasing of the even grid); lamino_adj_exact
+    must satisfy <Au, d> == <u, A*d> to float precision there."""
+    import jax.numpy as jnp
+
+    from tike_tpu.ops.lamino import (
+        LaminoConfig,
+        lamino_adj,
+        lamino_adj_exact,
+        lamino_fwd,
+    )
+
+    rng = np.random.default_rng(3)
+    n, ntheta = 24, 8
+    theta = jnp.asarray(
+        np.linspace(0, 2 * np.pi, ntheta, endpoint=False).astype(np.float32)
+    )
+    u = jnp.asarray(
+        (rng.standard_normal((n, n, n)) + 1j * rng.standard_normal((n, n, n)))
+        .astype(np.complex64)
+    )
+    d = jnp.asarray(
+        (
+            rng.standard_normal((ntheta, n, n))
+            + 1j * rng.standard_normal((ntheta, n, n))
+        ).astype(np.complex64)
+    )
+    for kernel in ("kb", "gaussian"):
+        cfg = LaminoConfig(
+            n=n, tilt=float(np.pi / 3), eps=1e-3, upsample=1.0, kernel=kernel
+        )
+        a = np.vdot(np.asarray(lamino_fwd(cfg, u, theta)), np.asarray(d))
+        b = np.vdot(np.asarray(u), np.asarray(lamino_adj_exact(cfg, d, theta)))
+        np.testing.assert_allclose(a, b, rtol=1e-4)
+    # And document the drift the exact adjoint fixes: the -xi identity is
+    # measurably NOT adjoint at this setting.
+    cfg = LaminoConfig(n=n, tilt=float(np.pi / 3), eps=1e-3, upsample=1.0)
+    b_approx = np.vdot(
+        np.asarray(u), np.asarray(lamino_adj(cfg, d, theta))
+    )
+    a = np.vdot(np.asarray(lamino_fwd(cfg, u, theta)), np.asarray(d))
+    assert abs(a / b_approx - 1) > 0.05
+
+
 def test_cgls_converges_and_beats_cgrad_at_equal_iterations():
     obj, theta, tilt, data = _problem()
     kwargs = dict(data=data, theta=theta, tilt=tilt, num_iter=4, cg_iter=4,
