@@ -214,21 +214,27 @@ def _probe_precond_fft_math(cfg: PtychoConfig, psi, scan, w):
         pad = jnp.pad(psi0, ((0, max(dy, 0)), (max(-dx, 0), max(dx, 0))))
         return pad[dy : dy + h, max(-dx, 0) + dx : max(-dx, 0) + dx + wd]
 
+    # Only the REAL part of each correlation is consumed below, and rho is
+    # real, so Re(rho corr Z) == rho corr Re(Z): take the real part FIRST
+    # and run the whole thing through half-spectrum real FFTs — exactly
+    # the same output (pinned by tests/ptycho/test_precond_fft.py) at half
+    # the FFT work.
     Z = jnp.stack(
         [
-            psi0 * jnp.conj(psi0),
-            psi0 * jnp.conj(shifted(0, 1)),
-            psi0 * jnp.conj(shifted(1, 0)),
-            psi0 * jnp.conj(shifted(1, 1)),
-            psi0 * jnp.conj(shifted(1, -1)),
+            (psi0 * jnp.conj(psi0)).real,
+            (psi0 * jnp.conj(shifted(0, 1))).real,
+            (psi0 * jnp.conj(shifted(1, 0))).real,
+            (psi0 * jnp.conj(shifted(1, 1))).real,
+            (psi0 * jnp.conj(shifted(1, -1))).real,
         ]
-    )
+    ).astype(jnp.float32)
     s1, s2 = _fft_len(h + p + 2), _fft_len(wd + p + 2)
-    corr = jnp.fft.ifft2(
-        jnp.conj(jnp.fft.fft2(rho, s=(s1, s2)))
-        * jnp.fft.fft2(Z, s=(s1, s2)),
+    corr = jnp.fft.irfft2(
+        jnp.conj(jnp.fft.rfft2(rho, s=(s1, s2)))
+        * jnp.fft.rfft2(Z, s=(s1, s2)),
+        s=(s1, s2),
     )[:, :p, :p]
-    out = corr[0].real + 2 * jnp.sum(corr[1:].real, axis=0)
+    out = corr[0] + 2 * jnp.sum(corr[1:], axis=0)
     return out[None].astype(jnp.float32)
 
 
